@@ -1,0 +1,347 @@
+"""Core batch-analytics queries (SURVEY.md §2.2/§2.4: A1–A13, P6–P9).
+
+Each entry maps a reference analysis onto the driver fixtures per FIXTURES.md
+§2 — ``events.value`` stands in for traffic ``volume``, ``events.ts`` for the
+reading time, ``event_type`` for the street/borough grouping key, and
+``lineitem`` measures for the wide numeric analyses.
+
+Oracle conventions (see plans/registry.py docstring): decimal-exact sums cast
+to double, identical expression shapes for float arithmetic, INT casts where
+DuckDB would widen to BIGINT, deterministic tie-breaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import avg_exact, sum_exact
+from ..operators import aggregates as agg
+from ..operators import filters as flt
+from .registry import register
+
+# --- A1/A6/A7: totals by categorical key -----------------------------------
+
+
+@register(
+    "a1_totals_by_event_type",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY total DESC, event_type
+    """,
+    tags=("agg", "A1"),
+    tables=("events",),
+)
+def a1_totals_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 borough-totals analog (ref TrafficAnalysis.py:218-240)."""
+    events = spark.table("events")
+    return agg.totals_by_key(events, "event_type", "value", "event_type")
+
+
+# --- A2/F8: dict-mapped labels then totals ---------------------------------
+
+
+@register(
+    "a2_mapped_label_totals",
+    oracle="""
+    SELECT CASE l_returnflag WHEN 'N' THEN 'None' WHEN 'R' THEN 'Returned'
+                             WHEN 'A' THEN 'Accepted' ELSE 'Unknown' END AS flag_label,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY flag_label ORDER BY total_qty DESC, flag_label
+    """,
+    tags=("agg", "A2", "F8"),
+    tables=("lineitem",),
+)
+def a2_mapped_label_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 direction-label totals (ref TrafficAnalysis.py:250-254): dict map of
+    codes to labels (F8 CASE chain) then groupBy-sum."""
+    li = spark.table("lineitem")
+    label = (
+        F.when(F.col("l_returnflag") == "N", "None")
+        .when(F.col("l_returnflag") == "R", "Returned")
+        .when(F.col("l_returnflag") == "A", "Accepted")
+        .otherwise("Unknown")
+        .alias("flag_label")
+    )
+    return (
+        li.groupBy(label)
+        .agg(sum_exact("l_quantity", "total_qty"))
+        .orderBy(F.desc("total_qty"), "flag_label")
+    )
+
+
+# --- A3: multi-aggregate per key -------------------------------------------
+
+
+@register(
+    "a3_multi_agg_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_val,
+           COUNT(value) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "A3"),
+    tables=("events",),
+)
+def a3_multi_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 street sum+mean (ref TrafficAnalysis.py:271)."""
+    return agg.multi_agg_by_key(spark.table("events"), "event_type", "value")
+
+
+# --- A4: daily totals (time series) ----------------------------------------
+
+
+@register(
+    "a4_daily_totals",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY d ORDER BY d
+    """,
+    tags=("agg", "A4"),
+    tables=("events",),
+)
+def a4_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 daily volume series (ref TrafficAnalysis.py:292)."""
+    events = spark.table("events")
+    return (
+        events.groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(sum_exact("value", "total"))
+        .orderBy("d")
+    )
+
+
+# --- A5: hour-of-day totals -------------------------------------------------
+
+
+@register(
+    "a5_hourly_totals",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY hour_of_day ORDER BY hour_of_day
+    """,
+    tags=("agg", "A5"),
+    tables=("events",),
+)
+def a5_hourly_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 hour-of-day profile (ref TrafficAnalysis.py:336, Dash.py:211)."""
+    events = spark.table("events")
+    return (
+        events.groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(sum_exact("value", "total"))
+        .orderBy("hour_of_day")
+    )
+
+
+# --- A8: wide groupBy-sum over many measures --------------------------------
+
+
+@register(
+    "a8_wide_groupby_sums",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_l_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_l_extendedprice,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_l_discount,
+           CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sum_l_tax
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "A8"),
+    tables=("lineitem",),
+)
+def a8_wide_groupby_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 wide sum of all measure columns per group (ref proto:203)."""
+    li = spark.table("lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        *[sum_exact(m, f"sum_{m}") for m in measures]
+    )
+
+
+# --- A9/A10: describe()-style summary stats ---------------------------------
+
+
+@register(
+    "a9_summary_stats",
+    oracle="""
+    SELECT COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS mean_val,
+           ROUND(stddev_samp(value), 6) AS std_val,
+           MIN(value) AS min_val,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           MAX(value) AS max_val
+    FROM events
+    """,
+    tags=("agg", "A9", "A10"),
+    tables=("events",),
+)
+def a9_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 describe() (ref TrafficAnalysis.py:117) — one aggregation pass."""
+    return agg.summary_stats(spark.table("events"), "value")
+
+
+# --- A11: correlation matrix ------------------------------------------------
+
+
+@register(
+    "a11_correlation",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity_l_extendedprice,
+           ROUND(corr(l_quantity, l_discount), 6) AS corr_l_quantity_l_discount,
+           ROUND(corr(l_extendedprice, l_discount), 6) AS corr_l_extendedprice_l_discount
+    FROM lineitem
+    """,
+    tags=("agg", "A11"),
+    tables=("lineitem",),
+)
+def a11_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 pairwise Pearson matrix (ref TrafficAnalysis.py:132-143)."""
+    return agg.correlation_matrix(
+        spark.table("lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+# --- A12: distinct ----------------------------------------------------------
+
+
+@register(
+    "a12_distinct_event_types",
+    oracle="SELECT DISTINCT event_type FROM events",
+    tags=("agg", "A12"),
+    tables=("events",),
+)
+def a12_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 distinct key values (ref Dash.py:89)."""
+    return agg.distinct_values(spark.table("events"), "event_type")
+
+
+# --- A13: histogram ---------------------------------------------------------
+
+
+@register(
+    "a13_histogram",
+    oracle="""
+    WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS INT), 19) AS bin,
+           COUNT(*) AS n
+    FROM events, s GROUP BY bin ORDER BY bin
+    """,
+    tags=("agg", "A13"),
+    tables=("events",),
+)
+def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 20-bin histogram over the data range (ref proto:131-135)."""
+    return agg.histogram(spark.table("events"), "value", bins=20)
+
+
+# --- P6: equality filter then aggregate ------------------------------------
+
+
+@register(
+    "p6_purchase_daily",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM events WHERE event_type = 'purchase' GROUP BY d ORDER BY d
+    """,
+    tags=("filter", "P6"),
+    tables=("events",),
+)
+def p6_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 equality filter (ref Dash.py:177) feeding the A4 daily series.
+    The predicate reaches the parquet scan (PushedFilters)."""
+    events = flt.equality_filter(spark.table("events"), "event_type", "purchase")
+    return (
+        events.groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(sum_exact("value", "total"), F.count(F.lit(1)).alias("n"))
+        .orderBy("d")
+    )
+
+
+# --- P7: latest-partition filter -------------------------------------------
+
+
+@register(
+    "p7_latest_day_hourly",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+    GROUP BY hour_of_day ORDER BY hour_of_day
+    """,
+    tags=("filter", "P7"),
+    tables=("events",),
+)
+def p7_latest_day_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 latest-day slice then hourly profile (ref Dash.py:209-211)."""
+    latest = flt.latest_partition(spark.table("events"), F.to_date("ts"), alias="d")
+    return (
+        latest.groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(sum_exact("value", "total"))
+        .orderBy("hour_of_day")
+    )
+
+
+# --- P8: μ±3σ outlier flags -------------------------------------------------
+
+
+@register(
+    "p8_sigma_outliers",
+    oracle="""
+    WITH s AS (SELECT AVG(value) AS mu, stddev_samp(value) AS sigma FROM events)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN value > mu + 3*sigma OR value < mu - 3*sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_abnormal,
+           COUNT(*) AS n
+    FROM events, s GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("filter", "P8"),
+    tables=("events",),
+)
+def p8_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 abnormal-traffic flag (ref TrafficAnalysis.py:410-413), aggregated
+    per key. Stats row is broadcast back over the scan — two scans, no
+    driver round-trip."""
+    flagged = flt.sigma_outlier_flag(spark.table("events"), "value", k=3.0)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum("is_abnormal").cast("bigint").alias("n_abnormal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- P9: quantile-threshold flags ------------------------------------------
+
+
+@register(
+    "p9_peak_share",
+    oracle="""
+    WITH s AS (SELECT quantile_cont(value, 0.75) AS thresh FROM events)
+    SELECT CAST(CASE WHEN value >= thresh THEN 1 ELSE 0 END AS INT) AS is_peak,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events, s GROUP BY is_peak ORDER BY is_peak
+    """,
+    tags=("filter", "P9"),
+    tables=("events",),
+)
+def p9_peak_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 peak-hour label (ref TrafficAnalysis.py:385-386): value ≥ P75."""
+    flagged = flt.quantile_flag(spark.table("events"), "value", q=0.75)
+    return (
+        flagged.groupBy("is_peak")
+        .agg(F.count(F.lit(1)).alias("n"), sum_exact("value", "total"))
+        .orderBy("is_peak")
+    )

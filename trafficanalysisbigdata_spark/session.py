@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (one JVM); the configs below are chosen so
+the same logical plans scale to a multi-executor cluster: AQE for runtime
+re-planning (partition coalescing, skew-join splitting), Arrow for any
+pandas-UDF exchange, explicit shuffle-partition sizing instead of the 200
+default, and UTC session time so event-time semantics are stable across
+drivers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (dynamic) confs every query should be able to rely on even when the
+# SparkSession is created by an external driver we don't control.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read as raw long nanos and convert in io.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_session(app_name: str = "trafficanalysisbigdata_spark") -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a real cluster the master/memory settings come from spark-submit; the
+    builder only pins semantics (timezone, AQE, Arrow) and shuffle sizing.
+    """
+    n = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{n}]")
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Apply the runtime confs to an externally-provided session.
+
+    The driver harness constructs its own SparkSession; every registry query
+    calls this first so semantics (UTC event time, AQE, Arrow) hold no matter
+    who built the session. All keys here are dynamically settable.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some build — keep going
+    return spark
