@@ -1,0 +1,210 @@
+"""Join queries (SURVEY.md §2.3): the full Spark join surface over the
+TPC-H-shaped fixtures — broadcast dim joins, multi-way star joins, semi/anti,
+equi+band range joins, and the custom as-of join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec, sum_exact
+from ..operators.asof import asof_join
+from ..operators.joins import anti_join, broadcast_dim_join, range_join, semi_join
+from .registry import register
+
+
+@register(
+    "j1_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg"),
+    tables=("lineitem", "orders", "customer", "nation"),
+)
+def j1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact joins shuffle on their keys (sort-merge + AQE); the bounded
+    nation dimension is broadcast so the last hop never shuffles."""
+    li, orders = spark.table("lineitem"), spark.table("orders")
+    cust, nation = spark.table("customer"), spark.table("nation")
+    revenue = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    enriched = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    enriched = broadcast_dim_join(enriched, nation, enriched.c_nationkey == nation.n_nationkey)
+    return (
+        enriched.groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "j2_star_region_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_sales,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+    tags=("join", "agg"),
+    tables=("orders", "customer", "nation", "region"),
+)
+def j2_star_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star rollup; both geography dims broadcast."""
+    orders, cust = spark.table("orders"), spark.table("customer")
+    nation, region = spark.table("nation"), spark.table("region")
+    df = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    df = broadcast_dim_join(df, nation, df.c_nationkey == nation.n_nationkey)
+    df = broadcast_dim_join(df, region, df.n_regionkey == region.r_regionkey)
+    return (
+        df.groupBy("r_name", "n_name")
+        .agg(
+            sum_exact("o_totalprice", "total_sales"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "j3_semi_big_spenders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("join", "semi"),
+    tables=("customer", "orders"),
+)
+def j3_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): only join keys cross the shuffle."""
+    cust = spark.table("customer")
+    big = spark.table("orders").filter(F.col("o_totalprice") > 300000)
+    matched = semi_join(cust, big, cust.c_custkey == big.o_custkey)
+    return (
+        matched.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "j4_anti_quiet_parts",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 45)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("join", "anti"),
+    tables=("part", "lineitem"),
+)
+def j4_anti_quiet_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): parts never ordered in bulk."""
+    part = spark.table("part")
+    bulk = spark.table("lineitem").filter(F.col("l_quantity") > 45)
+    quiet = anti_join(part, bulk, part.p_partkey == bulk.l_partkey)
+    return (
+        quiet.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts")).orderBy("p_brand")
+    )
+
+
+@register(
+    "j5_range_join_ship_lag",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_fast_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("join", "range"),
+    tables=("orders", "lineitem"),
+)
+def j5_range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+band range join: items shipped within 60 days of their order.
+    The equi key keeps the plan sort-merge; the band is a post-join filter."""
+    orders, li = spark.table("orders"), spark.table("lineitem")
+    joined = range_join(
+        li,
+        orders,
+        li.l_orderkey == orders.o_orderkey,
+        li.l_shipdate >= orders.o_orderdate,
+        li.l_shipdate <= F.date_add(orders.o_orderdate, 60),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_fast_items"), sum_exact("l_quantity", "total_qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "j6_asof_join_daily_close",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id, d
+    ), last_val AS (
+      SELECT e.user_id, CAST(e.ts AS DATE) AS d, e.value AS close_value
+      FROM events e JOIN daily dd
+        ON e.user_id = dd.user_id AND e.ts = dd.last_ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_days,
+           CAST(SUM(CAST(close_value AS DECIMAL(18,6))) AS DOUBLE) AS sum_close
+    FROM last_val
+    WHERE user_id < 30
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("join", "asof", "window"),
+    tables=("events",),
+)
+def j6_asof_join_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join exercise: for each (user, day-end) probe timestamp, take the
+    most recent event value at-or-before it — i.e. the day's closing value —
+    via the union+window as-of operator (operators/asof.py), then aggregate.
+
+    The oracle expresses the same semantics relationally (max-ts per day then
+    re-join), which is only equivalent because probe points coincide with
+    event times — the general as-of case has no pure-SQL equi form, which is
+    exactly why the engine ships the operator.
+    """
+    ev = spark.table("events").filter(F.col("user_id") < 30)
+    probes = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max("ts").alias("probe_ts")
+    )
+    joined = asof_join(
+        probes,
+        ev.select("user_id", "ts", "value"),
+        left_ts="probe_ts",
+        right_ts="ts",
+        by=["user_id"],
+        value_cols=["value"],
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            sum_exact("value_asof", "sum_close").alias("sum_close"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,139 @@
+"""Window-function queries (SURVEY.md §2.5) with exact-arithmetic oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sum_exact
+from ..operators.windows import lag_delta, rolling_mean, running_total, top_n_per_group
+from .registry import register
+
+
+@register(
+    "w1_top3_items_per_flag",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) t WHERE rn <= 3
+    """,
+    tags=("window", "F17"),
+    tables=("lineitem",),
+)
+def w1_top3_items_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group — the distributed per-group argmax (F17)."""
+    li = spark.table("lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return top_n_per_group(
+        li, ["l_returnflag"], "l_extendedprice", ["l_orderkey", "l_linenumber"], 3
+    )
+
+
+@register(
+    "w2_daily_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events GROUP BY d
+    )
+    SELECT d, total, total - LAG(total, 1) OVER (ORDER BY d) AS delta
+    FROM daily ORDER BY d
+    """,
+    tags=("window", "lag"),
+    tables=("events",),
+)
+def w2_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day change of the A4 daily series. The global window is safe:
+    it runs on the aggregated series (one row per day), not raw events."""
+    daily = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(sum_exact("value", "total"))
+    )
+    return lag_delta(daily, "d", "total", "delta").orderBy("d")
+
+
+@register(
+    "w3_weekly_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             SUM(CAST(value AS DECIMAL(18,6))) AS total_dec
+      FROM events GROUP BY d
+    )
+    SELECT d, CAST(total_dec AS DOUBLE) AS total,
+           CAST(SUM(total_dec) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(total_dec) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+    FROM daily ORDER BY d
+    """,
+    tags=("window", "rolling"),
+    tables=("events",),
+)
+def w3_weekly_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day mean of daily totals (exact sum ÷ count)."""
+    daily = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"))
+    )
+    out = rolling_mean(daily, "d", "total_dec", 7, "ma7")
+    return out.select(
+        "d", F.col("total_dec").cast("double").alias("total"), "ma7"
+    ).orderBy("d")
+
+
+@register(
+    "w4_running_user_totals",
+    oracle="""
+    SELECT user_id, event_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM events WHERE user_id % 50 = 0
+    """,
+    tags=("window", "running"),
+    tables=("events",),
+)
+def w4_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative value over event time (deterministic tie-break on
+    event_id). Partitioned window: one shuffle on user_id, scales linearly."""
+    ev = spark.table("events").filter(F.col("user_id") % 50 == 0)
+    out = running_total(ev, ["user_id"], ["ts", "event_id"], "value", "running_total")
+    return out.select("user_id", "event_id", "value", "running_total")
+
+
+@register(
+    "w5_type_rank_by_day",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events GROUP BY d, event_type
+    )
+    SELECT d, event_type, total,
+           CAST(RANK() OVER (PARTITION BY d ORDER BY total DESC, event_type) AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY d ORDER BY total DESC, event_type) AS INT) AS drnk
+    FROM per
+    """,
+    tags=("window", "rank"),
+    tables=("events",),
+)
+def w5_type_rank_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank of event types within each day."""
+    from pyspark.sql import Window
+
+    per = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").cast("string").alias("d"), "event_type")
+        .agg(sum_exact("value", "total"))
+    )
+    w = Window.partitionBy("d").orderBy(F.desc("total"), "event_type")
+    return per.withColumn("rnk", F.rank().over(w)).withColumn(
+        "drnk", F.dense_rank().over(w)
+    )
