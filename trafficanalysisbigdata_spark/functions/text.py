@@ -1,0 +1,84 @@
+"""Text-analysis column expressions for the training-data pipeline surface.
+
+All pure Catalyst (split / filter / transform / aggregate lambdas — JVM-side,
+no Python UDFs): token counting, stopword quality ratios, lexical diversity,
+n-gram heuristic language ID, and document fingerprints (md5 + polynomial
+rolling hash). Designed to run over a ``documents(text)``-shaped table at any
+scale — every expression is per-row, embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/lexicon heuristic
+EN_STOP = ["the", "a", "of", "and", "row", "table", "value"]
+ES_STOP = ["el", "la", "de", "los", "datos"]
+
+ROLLING_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the corpus is single-space separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column, stopwords: list[str]) -> Column:
+    lits = [F.lit(s) for s in stopwords]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*lits)))
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    """Quality signal: share of tokens that are stopwords (very low → listy /
+    non-prose junk, very high → boilerplate)."""
+    return stopword_count(text, stopwords) / token_count(text)
+
+
+def lexical_diversity(text: Column) -> Column:
+    """distinct tokens / tokens — near-duplicated boilerplate scores low."""
+    return distinct_token_count(text) / token_count(text)
+
+
+def lang_guess(text: Column) -> Column:
+    """Lexicon-vote language ID: count stopword hits per language profile,
+    argmax with deterministic precedence (en ≥ es > und)."""
+    en = stopword_count(text, EN_STOP)
+    es = stopword_count(text, ES_STOP)
+    return (
+        F.when((en >= es) & (en > 0), F.lit("en"))
+        .when(es > en, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint; md5 is identical in every engine."""
+    return F.md5(text)
+
+
+def rolling_hash(text: Column, mod: int = ROLLING_MOD) -> Column:
+    """Polynomial rolling hash over token lengths: fold(acc*31 + len(tok)) mod
+    M — an order-sensitive fingerprint (anagram documents differ) computed as
+    a single Catalyst ``aggregate`` lambda, no UDF."""
+    lens = F.transform(tokens(text), lambda t: F.length(t).cast("bigint"))
+    return F.aggregate(
+        lens,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(mod),
+    )
+
+
+def token_bigrams(text: Column) -> Column:
+    """Adjacent-token shingles for n-gram Jaccard dedup (0-based F.get)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)))

@@ -1,0 +1,184 @@
+"""pyspark.ml pipelines mirroring the reference's model suite (SURVEY.md
+§2.11, M1–M7).
+
+Parity is structural — same features/labels/split/metrics — not value-exact:
+sklearn and MLlib tree algorithms differ (binning, feature sampling), so the
+gate is metric sanity ranges (SURVEY §5.4), enforced in tests/test_ml.py.
+
+Every pipeline is distributed end-to-end: VectorAssembler and the label/flag
+derivations are Catalyst expressions, the fits are MLlib's distributed
+implementations, the confusion matrix is a groupBy — no driver-side learning.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.evaluation import (
+    MulticlassClassificationEvaluator,
+    RegressionEvaluator,
+)
+from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+from pyspark.ml.regression import GBTRegressor, RandomForestRegressor
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.binning import traffic_category
+from ..functions.timeparts import with_time_parts
+
+SEED = 42
+
+
+def feature_frame(events: DataFrame) -> DataFrame:
+    """The reference's feature block (TrafficAnalysis.py:80-84) on events:
+    hour / day_of_week / is_weekend / month plus ids and the measure."""
+    return with_time_parts(events).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "hour_of_day",
+        "day_of_week",
+        "is_weekend",
+        "month",
+        "week_of_year",
+    )
+
+
+def rf_regression(events: DataFrame) -> dict:
+    """M1 (ref TrafficAnalysis.py:147-165): RF regression value ~ [id, hour],
+    80/20 split seed 42, 100 trees, MSE + R²."""
+    df = feature_frame(events)
+    assembler = VectorAssembler(
+        inputCols=["user_id", "hour_of_day"], outputCol="features"
+    )
+    rf = RandomForestRegressor(
+        featuresCol="features", labelCol="value", numTrees=100, seed=SEED
+    )
+    train, test = df.randomSplit([0.8, 0.2], seed=SEED)
+    model = Pipeline(stages=[assembler, rf]).fit(train)
+    pred = model.transform(test)
+    mse = RegressionEvaluator(
+        labelCol="value", predictionCol="prediction", metricName="mse"
+    ).evaluate(pred)
+    r2 = RegressionEvaluator(
+        labelCol="value", predictionCol="prediction", metricName="r2"
+    ).evaluate(pred)
+    return {"model": model, "mse": mse, "r2": r2, "n_test": pred.count()}
+
+
+def rf_feature_importance(events: DataFrame) -> DataFrame:
+    """M2 (ref TrafficAnalysis.py:201-214): fit on the full frame, rank
+    feature importances."""
+    feats = ["hour_of_day", "month", "day_of_week", "is_weekend", "user_id"]
+    df = feature_frame(events)
+    assembler = VectorAssembler(inputCols=feats, outputCol="features")
+    rf = RandomForestRegressor(
+        featuresCol="features", labelCol="value", numTrees=50, seed=SEED
+    )
+    model = Pipeline(stages=[assembler, rf]).fit(df)
+    imps = model.stages[-1].featureImportances.toArray().tolist()
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        sorted(zip(feats, imps), key=lambda t: -t[1]), "feature string, importance double"
+    )
+
+
+def _classification_pipeline(label_col: str) -> Pipeline:
+    """Shared M3–M5 shape (ref TrafficAnalysis.py:352-433): one-hot the
+    categorical, assemble, RF-100."""
+    idx = StringIndexer(
+        inputCol="event_type", outputCol="type_idx", handleInvalid="keep"
+    )
+    ohe = OneHotEncoder(inputCols=["type_idx"], outputCols=["type_vec"])
+    assembler = VectorAssembler(
+        inputCols=["hour_of_day", "user_id", "type_vec"], outputCol="features"
+    )
+    rf = RandomForestClassifier(
+        featuresCol="features", labelCol=label_col, numTrees=100, seed=SEED
+    )
+    return Pipeline(stages=[idx, ohe, assembler, rf])
+
+
+def _fit_eval_classifier(df: DataFrame, label_col: str) -> dict:
+    train, test = df.randomSplit([0.8, 0.2], seed=SEED)
+    model = _classification_pipeline(label_col).fit(train)
+    pred = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="accuracy"
+    ).evaluate(pred)
+    f1 = MulticlassClassificationEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="f1"
+    ).evaluate(pred)
+    confusion = (
+        pred.groupBy(label_col, "prediction")
+        .count()
+        .orderBy(label_col, "prediction")
+    )
+    return {"model": model, "accuracy": acc, "f1": f1, "confusion": confusion}
+
+
+def volume_class_model(events: DataFrame) -> dict:
+    """M3 (ref TrafficAnalysis.py:352-381): 3-class Low/Medium/High label from
+    the F9 bins, RF classification, accuracy + F1 + confusion matrix."""
+    df = feature_frame(events).withColumn(
+        "label",
+        F.when(traffic_category(F.col("value")) == "Low", 0)
+        .when(traffic_category(F.col("value")) == "Medium", 1)
+        .otherwise(2)
+        .cast("double"),
+    )
+    return _fit_eval_classifier(df, "label")
+
+
+def peak_hour_model(events: DataFrame) -> dict:
+    """M4 (ref TrafficAnalysis.py:383-406): binary label value ≥ P75."""
+    p75 = events.agg(F.percentile("value", F.lit(0.75)).alias("t"))
+    df = (
+        feature_frame(events)
+        .crossJoin(F.broadcast(p75))
+        .withColumn("label", (F.col("value") >= F.col("t")).cast("double"))
+        .drop("t")
+    )
+    return _fit_eval_classifier(df, "label")
+
+
+def abnormal_traffic_model(events: DataFrame) -> dict:
+    """M5 (ref TrafficAnalysis.py:408-433): binary label outside μ±3σ."""
+    stats = events.agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    df = (
+        feature_frame(events)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "label",
+            (
+                (F.col("value") > F.col("mu") + 3 * F.col("sigma"))
+                | (F.col("value") < F.col("mu") - 3 * F.col("sigma"))
+            ).cast("double"),
+        )
+        .drop("mu", "sigma")
+    )
+    return _fit_eval_classifier(df, "label")
+
+
+def gbt_regression(events: DataFrame) -> dict:
+    """M6 (ref proto:234-288, cleaned semantics — no target leakage): GBT
+    regression of daily totals from calendar features."""
+    daily = (
+        with_time_parts(events)
+        .groupBy("date_str", "day_of_week", "month", "is_weekend")
+        .agg(F.sum("value").alias("total"))
+    )
+    assembler = VectorAssembler(
+        inputCols=["day_of_week", "month", "is_weekend"], outputCol="features"
+    )
+    gbt = GBTRegressor(featuresCol="features", labelCol="total", maxIter=20, seed=SEED)
+    train, test = daily.randomSplit([0.8, 0.2], seed=SEED)
+    model = Pipeline(stages=[assembler, gbt]).fit(train)
+    pred = model.transform(test)
+    mse = RegressionEvaluator(
+        labelCol="total", predictionCol="prediction", metricName="mse"
+    ).evaluate(pred)
+    return {"model": model, "mse": mse, "n_test": pred.count()}

@@ -1,0 +1,204 @@
+"""Deduplication queries over ``documents`` — exact, MinHash-LSH, SimHash,
+n-gram Jaccard. The md5-based hashing makes even the LSH pipelines fully
+SQL-expressible, so every stage is oracle-checked (rare for LSH impls).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    doc_shingle_sets,
+    doc_token_sets,
+    exact_dedup_summary,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+)
+from .registry import register
+
+
+@register(
+    "dd1_exact_dedup",
+    oracle="""
+    WITH groups AS (
+      SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      FROM documents GROUP BY text
+    )
+    SELECT COUNT(*) AS n_unique,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dupes,
+           CAST(SUM(keeper) AS BIGINT) AS keeper_id_sum
+    FROM groups
+    """,
+    tags=("dedup", "exact"),
+    tables=("documents",),
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, keeper = min(doc_id). One shuffle;
+    at scale, group on md5(text) instead to shrink shuffle payloads."""
+    return exact_dedup_summary(spark.table("documents"))
+
+
+_MINHASH_MH = ",\n             ".join(
+    f"min(md5('{i}|' || token)) AS mh_{i}" for i in range(8)
+)
+_MINHASH_BANDS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS bucket FROM mh"
+    for b in range(4)
+)
+
+@register(
+    "dd2_minhash_lsh",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), mh AS (
+      SELECT doc_id,
+             {_MINHASH_MH}
+      FROM tok GROUP BY doc_id
+    ), bands AS (
+      {_MINHASH_BANDS}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id
+    ), common AS (
+      SELECT p.doc1, p.doc2, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN tok t1 ON t1.doc_id = p.doc1
+      JOIN tok t2 ON t2.doc_id = p.doc2 AND t2.token = t1.token
+      GROUP BY p.doc1, p.doc2
+    ), verified AS (
+      SELECT c.doc1, c.doc2,
+             CAST(n_common AS DOUBLE) / (s1.set_size + s2.set_size - n_common) AS jaccard
+      FROM common c
+      JOIN sizes s1 ON s1.doc_id = c.doc1
+      JOIN sizes s2 ON s2.doc_id = c.doc2
+    )
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_candidates,
+           COUNT(*) AS n_neardup,
+           ROUND(SUM(jaccard), 4) AS sum_jaccard
+    FROM verified WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "minhash", "lsh"),
+    tables=("documents",),
+)
+def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) → 4 LSH bands → candidate pairs → exact Jaccard ≥ 0.5.
+
+    The banded join is the 100 TB path: pair comparisons happen only inside
+    band buckets, never all-pairs. Hashes are md5 so the DuckDB oracle runs
+    the byte-identical algorithm.
+    """
+    docs = spark.table("documents")
+    tok = doc_token_sets(docs)
+    sig = minhash_signatures(tok, num_perm=8)
+    pairs = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2)
+    verified = jaccard_verify(pairs, tok, threshold=0.5)
+    n_cand = pairs.count()  # tiny scalar; corpus never collected
+    return verified.agg(
+        F.lit(n_cand).cast("bigint").alias("n_candidates"),
+        F.count(F.lit(1)).alias("n_neardup"),
+        F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
+    )
+
+
+_SIMHASH_VOTES = ",\n             ".join(
+    f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(token), {j + 1}, 1)) - 1) % 2 = 1"
+    f" THEN 1 ELSE -1 END) AS v_{j}"
+    for j in range(16)
+)
+_SIMHASH_FP = " + ".join(f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+@register(
+    "dd3_simhash_groups",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES}
+      FROM tok GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS INT) AS simhash FROM votes
+    )
+    SELECT simhash, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM fp GROUP BY simhash HAVING COUNT(*) >= 1 ORDER BY simhash
+    """,
+    tags=("dedup", "simhash"),
+    tables=("documents",),
+)
+def dd3_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 fingerprint groups: near-dups collide on the fingerprint so
+    dedup is one groupBy — no pair join at any scale."""
+    tok = doc_token_sets(spark.table("documents"))
+    fp = simhash16(tok)
+    return (
+        fp.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+        )
+        .orderBy("simhash")
+    )
+
+
+@register(
+    "dd4_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, n_chars,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                                   i -> string_split(text, ' ')[i] || ' ' ||
+                                        string_split(text, ' ')[i+1])) AS token
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM sh a JOIN sh b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+       AND ABS(a.n_chars - b.n_chars) <= 20
+    ), common AS (
+      SELECT p.doc1, p.doc2, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN sh t1 ON t1.doc_id = p.doc1
+      JOIN sh t2 ON t2.doc_id = p.doc2 AND t2.token = t1.token
+      GROUP BY p.doc1, p.doc2
+    )
+    SELECT COUNT(*) AS n_neardup,
+           ROUND(SUM(CAST(n_common AS DOUBLE) / (s1.set_size + s2.set_size - n_common)), 4)
+             AS sum_jaccard
+    FROM common c
+    JOIN sizes s1 ON s1.doc_id = c.doc1
+    JOIN sizes s2 ON s2.doc_id = c.doc2
+    WHERE CAST(n_common AS DOUBLE) / (s1.set_size + s2.set_size - n_common) >= 0.25
+    """,
+    tags=("dedup", "ngram", "jaccard"),
+    tables=("documents",),
+)
+def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-shingle Jaccard near-dup: candidates = pairs sharing a shingle
+    with |Δn_chars| ≤ 20 (the blocking key), then exact set Jaccard ≥ 0.25.
+    Shingles are far more selective than unigrams, so the candidate join stays
+    near-linear in corpus size."""
+    docs = spark.table("documents").select("doc_id", "n_chars", "text")
+    sh = doc_shingle_sets(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("n_chars").alias("nc1"), "token")
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("n_chars").alias("nc2"), "token")
+    pairs = (
+        a.join(b, ["token"])
+        .filter((F.col("doc1") < F.col("doc2")) & (F.abs(F.col("nc1") - F.col("nc2")) <= 20))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    verified = jaccard_verify(pairs, doc_shingle_sets(docs), threshold=0.25)
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_neardup"),
+        F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
+    )

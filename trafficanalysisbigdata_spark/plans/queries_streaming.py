@@ -1,0 +1,83 @@
+"""Event-time window queries (SURVEY.md §2.9). The window expressions are the
+same ones the streaming jobs use (streaming/windows.py) run in batch mode —
+the oracle checks window semantics; exactly-once/watermark behavior is
+covered by tests/test_streaming.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.windows import session_10m, sliding_2h_1h, tumbling_hourly
+from .registry import register
+
+
+@register(
+    "st1_tumbling_hourly",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM events GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "window", "ST3"),
+    tables=("events",),
+)
+def st1_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned 1h tumbling windows per type (= DuckDB time_bucket)."""
+    return tumbling_hourly(spark.table("events"))
+
+
+@register(
+    "st2_sliding_2h_windows",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour', value FROM events
+    )
+    SELECT CAST(window_start AS VARCHAR) AS window_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM assigned GROUP BY window_start
+    """,
+    tags=("streaming", "window", "ST3"),
+    tables=("events",),
+)
+def st2_sliding_2h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h windows sliding 1h: every event belongs to the two windows starting
+    at floor_hour(ts) and floor_hour(ts) − 1h — which is exactly what the
+    oracle's UNION ALL expansion encodes."""
+    return sliding_2h_1h(spark.table("events"))
+
+
+@register(
+    "st3_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 20
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+    tables=("events",),
+)
+def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 10-minute-gap session windows (F.session_window). The oracle
+    is the classic gaps-and-islands formulation — same session boundaries."""
+    from pyspark.sql import functions as F
+
+    return session_10m(spark.table("events").filter(F.col("user_id") < 20))

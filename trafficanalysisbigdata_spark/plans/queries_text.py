@@ -1,0 +1,158 @@
+"""Text-analysis queries over the ``documents`` table: token counting,
+quality scoring, language ID, lexical diversity, fingerprinting.
+
+Every metric is a pure Catalyst expression (functions/text.py); the oracles
+re-run the identical algorithm in DuckDB's list/lambda dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    EN_STOP,
+    ES_STOP,
+    lang_guess,
+    lexical_diversity,
+    md5_fingerprint,
+    rolling_hash,
+    stopword_count,
+    stopword_ratio,
+    token_count,
+)
+from .registry import register
+
+_EN = ", ".join(f"'{w}'" for w in EN_STOP)
+_ES = ", ".join(f"'{w}'" for w in ES_STOP)
+_TOKS = "string_split(text, ' ')"
+_NSTOP_EN = f"len(list_filter({_TOKS}, x -> x IN ({_EN})))"
+_NSTOP_ES = f"len(list_filter({_TOKS}, x -> x IN ({_ES})))"
+
+
+@register(
+    "tx1_token_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(len({_TOKS})) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokens"),
+    tables=("documents",),
+)
+def tx1_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) rolled up per language."""
+    docs = spark.table("documents")
+    out = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avg_tokens"),
+    ).orderBy("lang")
+
+
+@register(
+    "tx2_quality_by_source",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_NSTOP_EN}) AS BIGINT) AS total_stopwords,
+           ROUND(SUM(CAST({_NSTOP_EN} AS DOUBLE) / len({_TOKS})), 6) AS sum_stop_ratio
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality"),
+    tables=("documents",),
+)
+def tx2_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio (prose-ness signal) per source."""
+    docs = spark.table("documents")
+    t = F.col("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(stopword_count(t, EN_STOP)).cast("bigint").alias("total_stopwords"),
+            F.round(F.sum(stopword_ratio(t, EN_STOP)), 6).alias("sum_stop_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "tx3_lang_id_confusion",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_NSTOP_EN} >= {_NSTOP_ES} AND {_NSTOP_EN} > 0 THEN 'en'
+                WHEN {_NSTOP_ES} > {_NSTOP_EN} THEN 'es'
+                ELSE 'und' END AS guessed,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang, guessed ORDER BY lang, guessed
+    """,
+    tags=("text", "langid"),
+    tables=("documents",),
+)
+def tx3_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-vote language ID vs the labeled lang column (confusion counts)."""
+    docs = spark.table("documents")
+    return (
+        docs.groupBy("lang", lang_guess(F.col("text")).alias("guessed"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guessed")
+    )
+
+
+@register(
+    "tx4_lexical_diversity",
+    oracle=f"""
+    SELECT lang,
+           ROUND(SUM(CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6)
+             AS sum_diversity,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "quality"),
+    tables=("documents",),
+)
+def tx4_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-token / token ratio — boilerplate detector."""
+    docs = spark.table("documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.sum(lexical_diversity(F.col("text"))), 6).alias("sum_diversity"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "tx5_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fp_rolling
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+    tables=("documents",),
+)
+def tx5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 (exact-dup key) + order-sensitive polynomial
+    rolling hash over token lengths (both engine-portable)."""
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("fp_md5"),
+        rolling_hash(F.col("text")).alias("fp_rolling"),
+    )

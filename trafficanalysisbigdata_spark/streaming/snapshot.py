@@ -1,0 +1,100 @@
+"""Snapshot-refresh streaming (SURVEY.md §2.9 ST1/ST2).
+
+The reference's "stream" is a daemon thread that re-fetches the full slice
+every 10 s and swaps a global pandas DataFrame (Dash.py:119-131) while chart
+callbacks recompute six queries from the latest snapshot (Dash.py:148-252) —
+complete-mode recomputation, no incremental state, late data absorbed whole.
+
+Spark-native equivalent: a file-source ``readStream`` over the snapshot
+directory with ``foreachBatch``; each micro-batch *is* the new snapshot, the
+six dashboard queries run over it, and results land in an in-memory "latest"
+slot (or any sink). Snapshot isolation per micro-batch removes the
+reference's unsynchronized read-during-write hazard (ST4) for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sum_exact
+from ..operators.topk import top_k
+
+
+def dashboard_queries(snapshot: DataFrame) -> dict[str, DataFrame]:
+    """The six per-tick dashboard queries (ref Dash.py:177-250) over one
+    snapshot, mapped onto the events schema per FIXTURES.md §2."""
+    latest_day = snapshot.agg(F.max(F.to_date("ts")).alias("d"))
+    return {
+        # Q1 (Dash.py:177): equality-filtered series for the selected key
+        "q1_selected_series": (
+            snapshot.filter(F.col("event_type") == "purchase")
+            .groupBy(F.to_date("ts").cast("string").alias("d"))
+            .agg(sum_exact("value", "total"))
+        ),
+        # Q2 (Dash.py:195-196): top-5 keys by total
+        "q2_top5": top_k(
+            snapshot.groupBy("user_id").agg(sum_exact("value", "total")),
+            "total",
+            5,
+            ["user_id"],
+        ),
+        # Q3 (Dash.py:209-211): latest-day hourly profile
+        "q3_latest_hourly": (
+            snapshot.join(F.broadcast(latest_day), F.to_date("ts") == F.col("d"))
+            .groupBy(F.hour("ts").alias("hour_of_day"))
+            .agg(sum_exact("value", "total"))
+        ),
+        # Q4/Q5 (Dash.py:220-236): categorical totals (pie + bar share a query)
+        "q4_type_totals": snapshot.groupBy("event_type").agg(sum_exact("value", "total")),
+        # Q6 (Dash.py:239-250): point projection for the map
+        "q6_points": snapshot.select("event_id", "user_id", "value"),
+    }
+
+
+class SnapshotRefreshJob:
+    """ST1/ST2: stream snapshot files, recompute the dashboard per batch.
+
+    ``results`` always holds the output of the most recent snapshot —
+    the engine's version of the reference's ``global_data`` swap.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        snapshot_dir: str,
+        schema: str,
+        on_batch: Callable[[int, dict[str, DataFrame]], None] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.snapshot_dir = snapshot_dir
+        self.schema = schema
+        self.on_batch = on_batch
+        self.results: dict[str, list] = {}
+        self.batches_seen = 0
+
+    def _process(self, batch_df: DataFrame, batch_id: int) -> None:
+        queries = dashboard_queries(batch_df)
+        self.results = {name: df.collect() for name, df in queries.items()}
+        self.batches_seen += 1
+        if self.on_batch:
+            self.on_batch(batch_id, queries)
+
+    def run_available_now(self) -> None:
+        """Drain all pending snapshot files (Trigger.AvailableNow) — the test
+        and batch-parity mode; production uses processingTime='10 seconds' to
+        match the reference's cadence."""
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", 1)  # one snapshot file = one batch
+            .parquet(self.snapshot_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{self.snapshot_dir}/_checkpoint")
+            .start()
+        )
+        q.awaitTermination()
