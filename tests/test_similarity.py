@@ -1,5 +1,9 @@
-"""LSH ANN quality: sim3 has no SQL oracle (hex-conv hyperplanes), so its
-check is recall against the exact brute-force top-k."""
+"""LSH ANN quality and determinism.
+
+sim3/sim4 also have full DuckDB oracles (md5-derived planes are relationally
+re-derivable — see plans/queries_similarity.py); these tests add the quality
+bar an exact-match oracle can't express: recall against brute force.
+"""
 
 from __future__ import annotations
 
@@ -8,8 +12,10 @@ from pyspark.sql import functions as F
 from trafficanalysisbigdata_spark.io import register_views
 from trafficanalysisbigdata_spark.operators.similarity import (
     brute_force_topk,
+    lsh_neardup_pairs,
     lsh_topk,
-    signatures,
+    multi_table_buckets,
+    threshold_pairs,
 )
 from trafficanalysisbigdata_spark.session import prep
 
@@ -27,18 +33,27 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     approx = {
         (r.query_id, r.neighbor_id) for r in lsh_topk(emb, probes, k=5).collect()
     }
-    # near-random corpus + 8-bit buckets: expect modest but nonzero recall,
-    # and every approx neighbor must come from the right bucket (sanity).
-    assert len(approx) > 0
+    # 16 tables x 4 planes OR-amplified; planes are md5-derived so recall is
+    # deterministic for a fixed fixture (measured 0.96 at sf0.001).
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.05, f"LSH recall suspiciously low: {recall}"
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_lsh_neardup_recall_vs_allpairs(spark, sf_dir):
+    prep(spark)
+    register_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    exact = {(r.id1, r.id2) for r in threshold_pairs(emb, 0.3).collect()}
+    approx = {(r.id1, r.id2) for r in lsh_neardup_pairs(emb, 0.3).collect()}
+    assert approx <= exact  # LSH candidates are verified exactly — no false positives
+    assert len(approx) / len(exact) >= 0.7, f"pair recall: {len(approx)}/{len(exact)}"
 
 
 def test_lsh_buckets_deterministic(spark, sf_dir):
     prep(spark)
     register_views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings").limit(50)
-    b1 = {r.vec_id: r.bucket for r in signatures(emb, 8, 64).collect()}
-    b2 = {r.vec_id: r.bucket for r in signatures(emb, 8, 64).collect()}
+    b1 = {r.vec_id: r.buckets for r in multi_table_buckets(emb, 16, 4, 64).collect()}
+    b2 = {r.vec_id: r.buckets for r in multi_table_buckets(emb, 16, 4, 64).collect()}
     assert b1 == b2
-    assert 0 <= min(b1.values()) and max(b1.values()) < 256
+    assert all(len(v) == 16 and all(0 <= b < 16 for b in v) for v in b1.values())

@@ -1,23 +1,112 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers:
+Three tiers:
 
 * ``brute_force_topk`` — exact cosine top-k. The probe set is broadcast, so
   cost is |probes| × |corpus| dot products with zero shuffle of the corpus;
   fine for interactive k-NN at any corpus size when |probes| is small.
-* ``lsh_topk`` — random-hyperplane LSH: sign-bit signatures bucket the
-  corpus; probes only score candidates sharing a bucket. The scale path for
-  probe sets too large to cross-join — candidate generation is an equi-join
-  on the bucket key. Hyperplanes are derived deterministically (md5 of
-  (plane, dimension)) so results are reproducible without a stored model.
+* ``lsh_topk`` — multi-table random-hyperplane LSH (OR-amplification):
+  L independent sign-hash tables of P planes each; a pair is a candidate if
+  it collides in ANY table. For a neighbor at angle θ the per-table collision
+  probability is (1-θ/π)^P, amplified to 1-(1-(1-θ/π)^P)^L across tables —
+  the standard recall/cost dial. Candidate generation is an equi-join on
+  (table, bucket); the corpus is never cross-joined.
+* ``lsh_neardup_pairs`` — the scale path for embedding near-dup detection:
+  same banded candidates, then exact cosine ≥ threshold. Replaces the O(n²)
+  ``threshold_pairs`` baseline beyond small n.
+
+Hyperplanes are derived deterministically — component (t, p, i) is
+``md5("table{t}|plane{p}|dim{i}")``'s first 8 hex digits scaled to
+[-0.5, 0.5) — so signatures are reproducible with no stored model AND the
+whole pipeline is expressible in ANSI SQL for the DuckDB oracle (see
+``plans/queries_similarity.py``). Signature computation itself is a
+vectorized Arrow/pandas UDF (one numpy matmul per batch: (rows×dim) @
+(dim×L·P)); per-plane Catalyst fold trees would be ~L·P·dim expression
+nodes, which breaks codegen far before the matmul breaks Arrow.
+
+Parameter guidance: defaults (L=16, P=4) target loose neighbors
+(cos ≈ 0.3, as in the synthetic fixtures). Real near-dup corpora with
+cos ≥ 0.8 neighbors should raise P to 8–16 and drop L — candidate volume
+scales ~n²·L/2^P per table-bucket family, so more planes = fewer, purer
+candidates.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import cosine
+
+
+def plane_component(table: int, plane: int, dim_i: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
+
+    Mirrors the SQL derivation
+    ``('0x' || substr(md5('table{t}|plane{p}|dim{i}'), 1, 8))::BIGINT
+    / 16^8 - 0.5`` exactly, so Spark and the DuckDB oracle hash identical
+    planes with no stored state.
+    """
+    h = hashlib.md5(f"table{table}|plane{plane}|dim{dim_i}".encode()).hexdigest()
+    return int(h[:8], 16) / float(16**8) - 0.5
+
+
+def plane_matrix(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """(n_tables * n_planes, dim) hyperplane matrix; row t*P+p = plane p of
+    table t."""
+    return np.array(
+        [
+            [plane_component(t, p, i) for i in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+
+
+def multi_table_buckets(
+    df: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "buckets",
+) -> DataFrame:
+    """Append ``out_col``: array of ``n_tables`` sign-bit bucket ids
+    (bit p of table t = (v · plane_{t,p}) >= 0).
+
+    One Arrow-batched matmul per partition batch — the per-row cost is
+    O(dim · L · P) multiply-adds in BLAS, independent of corpus size.
+    """
+    mat = plane_matrix(n_tables, n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        vecs = np.array(s.tolist(), dtype=np.float64)
+        proj = vecs @ mat.T  # (batch, L*P)
+        bits = (proj >= 0).astype(np.int64).reshape(len(vecs), n_tables, n_planes)
+        sigs = bits @ weights  # (batch, L)
+        return pd.Series(list(sigs.astype(np.int32)))
+
+    return df.withColumn(out_col, _buckets(F.col(vec_col)))
+
+
+def _exploded_buckets(
+    df: DataFrame, n_tables: int, n_planes: int, dim: int, id_col: str, vec_col: str, id_alias: str
+) -> DataFrame:
+    """(id_alias, t, bucket) — one row per (row, table)."""
+    return (
+        multi_table_buckets(df, n_tables, n_planes, dim, vec_col)
+        .select(F.col(id_col).alias(id_alias), F.posexplode("buckets").alias("t", "bucket"))
+    )
 
 
 def brute_force_topk(
@@ -53,46 +142,37 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(plane: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    md5-derived, engine-independent, no stored state."""
-    h = F.md5(F.lit(f"plane{plane}|dim{dim}"))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(float(16**8))) - 0.5
-
-
-def signatures(df: DataFrame, n_planes: int, dim: int, vec_col: str = "embedding") -> DataFrame:
-    """Sign-bit LSH signature: bit p = (v · plane_p) >= 0."""
-    sig = None
-    v = F.col(vec_col)
-    for p in range(n_planes):
-        d = None
-        for i in range(dim):
-            term = F.get(v, i).cast("double") * _hyperplane(p, i)
-            d = term if d is None else d + term
-        bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return df.withColumn("bucket", sig.cast("int"))
-
-
 def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int,
-    n_planes: int = 8,
+    n_tables: int = 16,
+    n_planes: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the probe's bucket."""
-    c = signatures(corpus, n_planes, dim, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), "bucket"
-    )
-    p = signatures(probes, n_planes, dim, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"), "bucket"
+    """Approximate top-k: score only candidates colliding with the probe in
+    at least one of the L hash tables (OR-amplified recall)."""
+    cb = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "neighbor_id")
+    pb = _exploded_buckets(probes, n_tables, n_planes, dim, id_col, vec_col, "query_id")
+    cand = (
+        cb.join(pb, ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     scored = (
-        c.join(p, "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -107,11 +187,40 @@ def lsh_topk(
     )
 
 
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded LSH candidates (pairs
+    colliding in any table), then exact cosine ≥ threshold. Never all-pairs —
+    the recall/candidate-volume dial is (n_tables, n_planes)."""
+    b = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "vid")
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), ["t", "bucket"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"))
+        .distinct()
+    )
+    v = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(v.withColumnsRenamed({"vid": "id1", "v": "v1"}), "id1")
+        .join(v.withColumnsRenamed({"vid": "id2", "v": "v2"}), "id2")
+        .select("id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def threshold_pairs(
     corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (embedding near-dup detection). O(n²) —
-    the correctness baseline; the LSH bucket join above is the scale path."""
+    """All-pairs cosine ≥ threshold. O(n²) — the small-n correctness baseline
+    only; ``lsh_neardup_pairs`` is the registered scale path."""
     a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (
