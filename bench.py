@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_wall_seconds", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full physical execution,
+zero serialization-to-driver cost), after a warmup action that absorbs JVM /
+codegen startup. All diagnostic chatter goes to stderr; stdout carries only
+the JSON line so the driver's parser always finds it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: every operator family with its most expensive representative —
+# scans/aggs, multi-way shuffle joins, as-of, windows, wide/unpivot, top-k,
+# text, all four dedup strategies, similarity (exact + LSH scale path).
+BENCH_QUERIES = [
+    "a1_totals_by_event_type",
+    "a3_multi_agg_by_type",
+    "a9_summary_stats",
+    "a13_histogram",
+    "p8_sigma_outliers",
+    "t2_top10_parts_by_revenue",
+    "j1_revenue_by_nation",
+    "j2_star_region_rollup",
+    "j5_range_join_ship_lag",
+    "j6_asof_join_daily_close",
+    "w4_running_user_totals",
+    "w5_type_rank_by_day",
+    "f16_row_sums",
+    "f20_unpivot_measures",
+    "tx2_quality_by_source",
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh",
+    "dd3_simhash_groups",
+    "dd4_ngram_jaccard",
+    "sim1_ann_topk_bruteforce",
+    "sim4_lsh_neardup_pairs",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("trafficanalysisbigdata-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from trafficanalysisbigdata_spark.plans.registry import load_all
+
+    specs = load_all()
+
+    # Warmup: touch the fact table so JVM startup / first-read costs don't
+    # land on the first measured query.
+    warm = specs["a1_totals_by_event_type"].run(spark, SF_DIR)
+    warm.write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = specs.get(name)
+        if spec is None:
+            print(f"bench: unknown query {name!r}, skipping", file=sys.stderr)
+            continue
+        t0 = time.perf_counter()
+        try:
+            spec.run(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # keep the JSON line emitting no matter what
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            times[name] = -1.0
+            continue
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    ok = {k: v for k, v in times.items() if v >= 0}
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        sf = float(sf_name.removeprefix("sf"))
+    except ValueError:
+        sf = sf_name
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(sum(ok.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,13 @@ def rolling_hash(text: Column, mod: int = ROLLING_MOD) -> Column:
 
 
 def token_bigrams(text: Column) -> Column:
-    """Adjacent-token shingles for n-gram Jaccard dedup (0-based F.get)."""
+    """Adjacent-token shingles for n-gram Jaccard dedup (0-based F.get).
+
+    Guarded for <2-token documents: ``sequence(0, -1)`` would step DOWNWARD
+    ([0, -1]) and fabricate a unigram shingle, diverging from SQL ``range``
+    semantics (empty)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)))

@@ -44,6 +44,29 @@ def doc_token_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _set_array(elems: Column, hashed: bool) -> Column:
+    """Distinct element array, optionally as xxhash64 ints: integer-array
+    intersection is ~2× faster than string-array intersection over millions
+    of candidate pairs, and a 64-bit collision inside one pair's ~100-element
+    union (P ≈ 1e-16) is the only way results could differ from the
+    string-set oracle."""
+    arr = F.array_distinct(elems)
+    return F.transform(arr, lambda t: F.xxhash64(t)) if hashed else arr
+
+
+def doc_token_arrays(docs: DataFrame, text_col: str = "text", hashed: bool = True) -> DataFrame:
+    """(doc_id, toks) with toks = distinct tokens as an array — the row-local
+    set form consumed by ``jaccard_scores``."""
+    return docs.select("doc_id", _set_array(tokens(F.col(text_col)), hashed).alias("toks"))
+
+
+def doc_shingle_arrays(docs: DataFrame, text_col: str = "text", hashed: bool = True) -> DataFrame:
+    """(doc_id, toks) with toks = distinct token bigrams as an array."""
+    return docs.select(
+        "doc_id", _set_array(token_bigrams(F.col(text_col)), hashed).alias("toks")
+    )
+
+
 def minhash_signatures(tok: DataFrame, num_perm: int = 8) -> DataFrame:
     """MinHash: permutation i ≈ lexicographic min of md5(i | token). One
     grouped pass computes all permutations (no per-perm scan)."""
@@ -56,66 +79,86 @@ def minhash_signatures(tok: DataFrame, num_perm: int = 8) -> DataFrame:
 
 def lsh_candidate_pairs(sig: DataFrame, num_perm: int = 8, rows_per_band: int = 2) -> DataFrame:
     """Band the signature and join docs sharing any band bucket. Output is
-    distinct (doc1 < doc2) candidate pairs."""
+    distinct (doc1 < doc2) candidate pairs.
+
+    The cross-band dedup is a ``distinct`` over the SKINNY (doc1, doc2)
+    projection — column pruning means only two ids per collision row ever
+    shuffle, and the distinct's stage boundary keeps the downstream
+    verification joins in their own codegen stage. (A row-local
+    first-colliding-band filter was benchmarked instead and lost: its array
+    lambdas are CodegenFallback and drag the fused downstream stage into
+    interpreted eval.)
+    """
     n_bands = num_perm // rows_per_band
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh_{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
+    bucket_exprs = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
             )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        for b in range(n_bands)
+    ]
+    bands = sig.select("doc_id", F.array(*bucket_exprs).alias("bkts")).select(
+        "doc_id", F.posexplode("bkts").alias("band", "bucket")
+    )
+    a = bands.select(F.col("doc_id").alias("doc1"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
         .distinct()
     )
 
 
-def jaccard_verify(pairs: DataFrame, tok: DataFrame, threshold: float) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs only: join each side's
-    token set, count intersections, divide by union size."""
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    t1 = tok.withColumnRenamed("doc_id", "doc1")
-    t2 = tok.withColumnRenamed("doc_id", "doc2")
-    common = (
-        pairs.join(t1, "doc1")
-        .join(t2, ["doc2", "token"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    s1 = sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("set_size", "size1")
-    s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("set_size", "size2")
-    jacc = (
-        common.join(s1, "doc1")
+def jaccard_scores(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact set Jaccard for every candidate pair.
+
+    ``sets`` is the set-as-array form ``(doc_id, toks: array<string>)`` — the
+    pair verification is two id equi-joins plus a per-row ``array_intersect``,
+    NOT a pairs×tokens explode join. With hot LSH buckets (boilerplate-heavy
+    corpora) candidate volume is O(bucket²); keeping verification per-pair
+    row-local avoids materializing |pairs| × |tokens| shuffle rows — the
+    difference between ~10M and ~300M intermediate rows on the fixtures, and
+    between feasible and not at 100 TB.
+    """
+    s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
+    s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    return (
+        pairs.join(s1, "doc1")
         .join(s2, "doc2")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("size1") + F.col("size2") - F.col("n_common")),
+        .withColumn("n_common", F.size(F.array_intersect("toks1", "toks2")))
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("n_common").cast("double")
+                / (F.size("toks1") + F.size("toks2") - F.col("n_common"))
+            ).alias("jaccard"),
         )
     )
-    return jacc.filter(F.col("jaccard") >= threshold).select("doc1", "doc2", "jaccard")
+
+
+def jaccard_verify(pairs: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs whose exact set Jaccard clears ``threshold``."""
+    return jaccard_scores(pairs, sets).filter(F.col("jaccard") >= threshold)
+
+
+def df_capped(postings: DataFrame, docs_total: DataFrame, max_df_frac: float) -> DataFrame:
+    """Drop postings whose token appears in more than ``max_df_frac`` of the
+    corpus — the standard hot-shingle skew guard: one boilerplate shingle
+    shared by 1% of a 100 TB corpus makes the candidate self-join quadratic in
+    its posting-list length. The cap bounds every posting list (hence every
+    join bucket) at ``max_df_frac * n_docs``. ``docs_total`` is a one-row
+    (n_docs) aggregate, joined in as a broadcast literal — no driver action.
+    """
+    tok_df = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    keep = (
+        tok_df.crossJoin(F.broadcast(docs_total))
+        .filter(F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+        .select("token")
+    )
+    return postings.join(keep, "token")
 
 
 def simhash16(tok: DataFrame) -> DataFrame:

@@ -102,7 +102,14 @@ def multi_table_buckets(
 def _exploded_buckets(
     df: DataFrame, n_tables: int, n_planes: int, dim: int, id_col: str, vec_col: str, id_alias: str
 ) -> DataFrame:
-    """(id_alias, t, bucket) — one row per (row, table)."""
+    """(id_alias, t, bucket) — one row per (row, table).
+
+    Cross-table pair dedup downstream is a ``distinct`` over the SKINNY
+    (id, id) projection — only two ids per row ever shuffle. (A row-local
+    first-colliding-table filter was benchmarked instead and lost 4×: its
+    array lambdas are CodegenFallback, and sitting in the same fused stage as
+    the cosine scoring they drag the whole stage into interpreted eval. The
+    distinct's stage boundary keeps scoring in codegen.)"""
     return (
         multi_table_buckets(df, n_tables, n_planes, dim, vec_col)
         .select(F.col(id_col).alias(id_alias), F.posexplode("buckets").alias("t", "bucket"))
@@ -199,12 +206,12 @@ def lsh_neardup_pairs(
     """Embedding near-dup pairs at scale: banded LSH candidates (pairs
     colliding in any table), then exact cosine ≥ threshold. Never all-pairs —
     the recall/candidate-volume dial is (n_tables, n_planes)."""
-    b = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "vid")
+    ba = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "id1")
+    bb = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "id2")
     cand = (
-        b.alias("a")
-        .join(b.alias("b"), ["t", "bucket"])
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"))
+        ba.join(bb, ["t", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
         .distinct()
     )
     v = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))

@@ -9,10 +9,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    df_capped,
+    doc_shingle_arrays,
     doc_shingle_sets,
+    doc_token_arrays,
     doc_token_sets,
     exact_dedup_summary,
-    jaccard_verify,
+    jaccard_scores,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash16,
@@ -73,17 +76,17 @@ _MINHASH_BANDS = "\n      UNION ALL\n      ".join(
       JOIN tok t1 ON t1.doc_id = p.doc1
       JOIN tok t2 ON t2.doc_id = p.doc2 AND t2.token = t1.token
       GROUP BY p.doc1, p.doc2
-    ), verified AS (
+    ), scored AS (
       SELECT c.doc1, c.doc2,
              CAST(n_common AS DOUBLE) / (s1.set_size + s2.set_size - n_common) AS jaccard
       FROM common c
       JOIN sizes s1 ON s1.doc_id = c.doc1
       JOIN sizes s2 ON s2.doc_id = c.doc2
     )
-    SELECT (SELECT COUNT(*) FROM pairs) AS n_candidates,
-           COUNT(*) AS n_neardup,
-           ROUND(SUM(jaccard), 4) AS sum_jaccard
-    FROM verified WHERE jaccard >= 0.5
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS n_neardup,
+           ROUND(SUM(jaccard) FILTER (WHERE jaccard >= 0.5), 4) AS sum_jaccard
+    FROM scored
     """,
     tags=("dedup", "minhash", "lsh"),
     tables=("documents",),
@@ -93,18 +96,26 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The banded join is the 100 TB path: pair comparisons happen only inside
     band buckets, never all-pairs. Hashes are md5 so the DuckDB oracle runs
-    the byte-identical algorithm.
+    the byte-identical algorithm. Single pass: candidate count, near-dup
+    count, and the jaccard sum come from ONE conditional aggregate over the
+    scored candidates — no driver action, no recomputed candidate join — and
+    verification is a per-pair ``array_intersect``, not a pairs×tokens
+    explode (see ``operators/dedup.jaccard_scores``).
+
+    Every candidate pair shares a band bucket, i.e. identical minhash values
+    in that band, hence at least one common token — so counting scored pairs
+    equals counting candidate pairs.
     """
     docs = spark.table("documents")
     tok = doc_token_sets(docs)
     sig = minhash_signatures(tok, num_perm=8)
     pairs = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2)
-    verified = jaccard_verify(pairs, tok, threshold=0.5)
-    n_cand = pairs.count()  # tiny scalar; corpus never collected
-    return verified.agg(
-        F.lit(n_cand).cast("bigint").alias("n_candidates"),
-        F.count(F.lit(1)).alias("n_neardup"),
-        F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
+    scores = jaccard_scores(pairs, doc_token_arrays(docs))
+    is_dup = F.col("jaccard") >= 0.5
+    return scores.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(is_dup.cast("bigint")).alias("n_neardup"),
+        F.round(F.sum(F.when(is_dup, F.col("jaccard"))), 4).alias("sum_jaccard"),
     )
 
 
@@ -157,11 +168,18 @@ def dd3_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    i -> string_split(text, ' ')[i] || ' ' ||
                                         string_split(text, ' ')[i+1])) AS token
       FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), keep AS (
+      SELECT token FROM (SELECT token, COUNT(*) AS df FROM sh GROUP BY token), tot
+      WHERE df <= 0.05 * n_docs
+    ), shc AS (
+      SELECT sh.* FROM sh JOIN keep USING (token)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-      FROM sh a JOIN sh b
+      FROM shc a JOIN shc b
         ON a.token = b.token AND a.doc_id < b.doc_id
        AND ABS(a.n_chars - b.n_chars) <= 20
     ), common AS (
@@ -183,12 +201,18 @@ def dd3_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("documents",),
 )
 def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-shingle Jaccard near-dup: candidates = pairs sharing a shingle
-    with |Δn_chars| ≤ 20 (the blocking key), then exact set Jaccard ≥ 0.25.
-    Shingles are far more selective than unigrams, so the candidate join stays
-    near-linear in corpus size."""
+    """Bigram-shingle Jaccard near-dup: candidates = pairs sharing a
+    NON-boilerplate shingle (document frequency ≤ 5% of the corpus — the
+    hot-key skew guard; see ``operators/dedup.df_capped``) with |Δn_chars| ≤
+    20 as the blocking key, then exact set Jaccard ≥ 0.25 over the FULL
+    shingle sets. Without the cap, one shingle shared by 1% of a 100 TB
+    corpus makes the candidate self-join quadratic in its posting length.
+    Verification is per-pair ``array_intersect`` — no pairs×shingles explode."""
     docs = spark.table("documents").select("doc_id", "n_chars", "text")
-    sh = doc_shingle_sets(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    docs_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    sh = df_capped(doc_shingle_sets(docs), docs_total, max_df_frac=0.05).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("n_chars").alias("nc1"), "token")
     b = sh.select(F.col("doc_id").alias("doc2"), F.col("n_chars").alias("nc2"), "token")
     pairs = (
@@ -197,7 +221,9 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2")
         .distinct()
     )
-    verified = jaccard_verify(pairs, doc_shingle_sets(docs), threshold=0.25)
+    verified = jaccard_scores(pairs, doc_shingle_arrays(docs)).filter(
+        F.col("jaccard") >= 0.25
+    )
     return verified.agg(
         F.count(F.lit(1)).alias("n_neardup"),
         F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
