@@ -1,0 +1,147 @@
+"""Streaming surface tests (SURVEY.md §5.5).
+
+* SnapshotRefreshJob (ST1/ST2): each snapshot file processed under
+  Trigger.AvailableNow must produce EXACTLY the batch-mode dashboard results
+  for that snapshot — the engine's version of the reference's global-swap
+  semantics (Dash.py:119-131), minus its read-during-write hazard.
+* watermarked_tumbling_hourly (ST3 upgrade): append-mode emission across two
+  runs sharing a checkpoint; an event older than the carried-over watermark
+  is dropped, finalized windows emit exactly once.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+
+from pyspark.sql import functions as F
+
+from trafficanalysisbigdata_spark.io import load_table
+from trafficanalysisbigdata_spark.session import prep
+from trafficanalysisbigdata_spark.streaming.snapshot import (
+    SnapshotRefreshJob,
+    dashboard_queries,
+)
+from trafficanalysisbigdata_spark.streaming.windows import watermarked_tumbling_hourly
+
+EVENTS_DDL = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP"
+)
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_snapshot_refresh_matches_batch(spark, sf_dir, tmp_path):
+    """Every micro-batch's dashboard == batch dashboard over that snapshot."""
+    prep(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    # three growing snapshots with distinct row counts so each micro-batch is
+    # attributable to its file regardless of processing order
+    sizes = [100, 150, 200]
+    snap_dir = str(tmp_path / "snapshots")
+    slices = []
+    offset = 0
+    for i, n in enumerate(sizes):
+        part = events.orderBy("event_id").limit(offset + n).subtract(
+            events.orderBy("event_id").limit(offset)
+        )
+        slices.append(part.collect())
+        part.coalesce(1).write.mode("append").parquet(snap_dir)
+        offset += n
+
+    per_batch: list[dict[str, list]] = []
+
+    def on_batch(batch_id, queries):
+        per_batch.append({name: df.collect() for name, df in queries.items()})
+
+    job = SnapshotRefreshJob(spark, snap_dir, EVENTS_DDL, on_batch=on_batch)
+    job.run_available_now()
+
+    assert job.batches_seen == len(sizes)
+    # batch-mode expectation per snapshot, matched to micro-batches by size
+    expected_by_size = {}
+    for rows in slices:
+        snap = spark.createDataFrame(rows, EVENTS_DDL)
+        expected_by_size[len(rows)] = {
+            name: df.collect() for name, df in dashboard_queries(snap).items()
+        }
+    for got in per_batch:
+        size = len(got["q6_points"])
+        want = expected_by_size[size]
+        assert set(got) == set(want)
+        for name in want:
+            assert _canon(got[name]) == _canon(want[name]), name
+
+
+def _mk_events(spark, rows):
+    data = [
+        (i, 1, "purchase", float(v), dt.datetime(2024, 1, 1, h, m))
+        for i, (h, m, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, EVENTS_DDL)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two AvailableNow runs sharing one checkpoint.
+
+    Empirically pinned semantics (probed, then asserted here): the late
+    filter for windowed aggregations drops a row when its WINDOW END ≤
+    watermark — i.e. only rows for already-finalized windows are dropped;
+    a row older than the watermark whose window is still open is accepted.
+    AvailableNow's closing batch finalizes every window whose end ≤ the
+    run-final watermark within the same run.
+    """
+    prep(spark)
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def run_once():
+        got = []
+
+        def sink(df, _bid):
+            got.extend(
+                (r.window_start, float(r.total), r.n)
+                for r in df.collect()
+            )
+
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        q = (
+            watermarked_tumbling_hourly(stream, late="1 hour")
+            .select(
+                F.col("window.start").cast("string").alias("window_start"),
+                "total",
+                "n",
+            )
+            # foreachBatch, not the memory sink: memory cannot recover from a
+            # checkpoint, and cross-run recovery is the point of this test
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(got)
+
+    # run 1: hours 2 and 3, plus an outpost at 05:30 that leaves the
+    # checkpointed watermark at 04:30 (5.5h − 1h lateness)
+    _mk_events(
+        spark, [(2, 0, 10.0), (2, 30, 5.0), (3, 15, 7.0), (5, 30, 1.0)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert run_once() == [
+        ("2024-01-01 02:00:00", 15.0, 2),
+        ("2024-01-01 03:00:00", 7.0, 1),
+    ]
+
+    # run 2: a late event into the FINALIZED hour-3 window (dropped — that
+    # window's end 04:00 ≤ carried watermark 04:30, and it must not re-emit),
+    # an in-watermark event for the still-open hour-4 window (accepted), and
+    # an outpost at 06:30 that pushes the watermark to 05:30, closing hour-4
+    _mk_events(spark, [(3, 20, 99.0), (4, 40, 3.0), (6, 30, 2.0)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    assert run_once() == [("2024-01-01 04:00:00", 3.0, 1)]

@@ -50,3 +50,13 @@ def ml5_abnormal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 μ±3σ abnormal-traffic binary model confusion matrix."""
     r = models.abnormal_traffic_model(spark.table("events"))
     return r["confusion"].withColumn("accuracy", F.round(F.lit(r["accuracy"]), 4))
+
+
+@register("ml6_gbt_regression", oracle=None, tags=("ml", "M6"), tables=("events",))
+def ml6_gbt_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 GBT regression of daily totals (ref proto:234-288, cleaned — no
+    target leakage): one metrics row (mse, n_test)."""
+    r = models.gbt_regression(spark.table("events"))
+    return spark.createDataFrame(
+        [(float(r["mse"]), int(r["n_test"]))], "mse double, n_test long"
+    )

@@ -14,7 +14,7 @@ from .registry import register
 @register(
     "st1_tumbling_hourly",
     oracle="""
-    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
            event_type,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
            COUNT(*) AS n
@@ -32,9 +32,9 @@ def st1_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st2_sliding_2h_windows",
     oracle="""
     WITH assigned AS (
-      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+      SELECT date_trunc('hour', ts) AS window_start, value FROM events
       UNION ALL
-      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour', value FROM events
+      SELECT date_trunc('hour', ts) - INTERVAL '1 hour', value FROM events
     )
     SELECT CAST(window_start AS VARCHAR) AS window_start,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,

@@ -11,6 +11,7 @@ drivers.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -70,6 +71,19 @@ def prep(spark: SparkSession) -> SparkSession:
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # static conf on some build — keep going
+        except Exception as e:
+            try:
+                effective = spark.conf.get(k, None)
+            except Exception:
+                effective = None
+            if effective == v:
+                continue  # already in the required state, set() just refused
+            if k == "spark.sql.legacy.parquet.nanosAsLong":
+                # io.load_table hard-depends on this key for events.parquet's
+                # TIMESTAMP(NANOS); failing later would be an opaque
+                # PARQUET_TYPE_ILLEGAL read error — fail loudly here instead.
+                raise RuntimeError(
+                    f"cannot apply required conf {k}={v}; events-table reads will fail"
+                ) from e
+            warnings.warn(f"prep(): could not set {k}={v}: {e}", stacklevel=2)
     return spark
