@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "queries_windows",
     "queries_wide",
     "queries_text",
+    "queries_geo",
     "queries_dedup",
     "queries_similarity",
     "queries_streaming",
