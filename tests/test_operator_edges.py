@@ -1,0 +1,73 @@
+"""Edge-case unit tests the oracle harness can't express cleanly:
+as-of tie determinism, degenerate histogram ranges, bigram guards."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from trafficanalysisbigdata_spark.functions.text import token_bigrams
+from trafficanalysisbigdata_spark.functions.timeparts import date_from_parts
+from trafficanalysisbigdata_spark.operators.aggregates import histogram
+from trafficanalysisbigdata_spark.operators.asof import asof_join
+from trafficanalysisbigdata_spark.session import prep
+
+
+def test_asof_tie_determinism(spark):
+    prep(spark)
+    t = dt.datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame([(1, t)], "k int, lts timestamp")
+    # three right rows at the SAME (key, ts): greatest value tuple must win
+    right = spark.createDataFrame(
+        [(1, t, 10.0), (1, t, 30.0), (1, t, 20.0)], "k int, rts timestamp, v double"
+    )
+    outs = set()
+    for _ in range(3):
+        r = asof_join(
+            left, right.repartition(3), "lts", "rts", by=["k"], value_cols=["v"]
+        ).collect()
+        assert len(r) == 1
+        outs.add(r[0]["v_asof"])
+    assert outs == {30.0}
+
+
+def test_asof_no_prior_row_is_null(spark):
+    prep(spark)
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "k int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1), 5.0)], "k int, rts timestamp, v double"
+    )
+    r = asof_join(left, right, "lts", "rts", by=["k"], value_cols=["v"]).collect()
+    assert r[0]["v_asof"] is None
+
+
+def test_histogram_constant_column(spark):
+    prep(spark)
+    df = spark.createDataFrame([(7.0,)] * 42, "x double")
+    rows = histogram(df, "x", bins=20).collect()
+    assert [(r.bin, r.n) for r in rows] == [(0, 42)]
+
+
+def test_token_bigrams_short_docs(spark):
+    prep(spark)
+    df = spark.createDataFrame(
+        [("a b c",), ("single",), ("",)], "text string"
+    ).select(token_bigrams(F.col("text")).alias("bg"))
+    got = [r.bg for r in df.collect()]
+    assert got[0] == ["a b", "b c"]
+    assert got[1] == []  # 1 token: no fabricated unigram shingle
+    assert got[2] == []  # split('') yields [''] — still a single token
+
+
+def test_date_from_parts_null_propagation(spark):
+    prep(spark)
+    df = spark.createDataFrame(
+        [(2024, 5, 17), (2024, None, 5), (2024, 2, 30)], "y int, m int, d int"
+    ).select(date_from_parts(F.col("y"), F.col("m"), F.col("d")).alias("dt"))
+    got = [r.dt for r in df.collect()]
+    assert got[0] == dt.date(2024, 5, 17)
+    assert got[1] is None  # NULL part must NOT collapse into '2024-05'
+    assert got[2] is None  # out of range coerces like pandas NaT

@@ -16,15 +16,19 @@ from pyspark.sql import functions as F
 
 def date_from_parts(y: Column, m: Column, d: Column) -> Column:
     """F1 (ref TrafficAnalysis.py:80): date from year/month/day; NULL if any
-    part is NULL or out of range (matches pd.to_datetime errors='coerce')."""
-    return F.try_to_timestamp(
-        F.concat_ws("-", y, F.lpad(m.cast("string"), 2, "0"), F.lpad(d.cast("string"), 2, "0"))
-    ).cast("date")
+    part is NULL or out of range (matches pd.to_datetime errors='coerce').
+
+    NOT a concat_ws/parse round-trip: concat_ws SKIPS null arguments, so
+    (2024, NULL, 5) would silently parse as '2024-05' = 2024-05-01."""
+    zero = F.lit(0)
+    return F.try_make_timestamp(y, m, d, zero, zero, zero).cast("date")
 
 
 def timestamp_from_parts(y: Column, m: Column, d: Column, h: Column) -> Column:
-    """F1/Dash variant (ref Dash.py:59-60): full timestamp with hour."""
-    return F.make_timestamp(y, m, d, h, F.lit(0), F.lit(0))
+    """F1/Dash variant (ref Dash.py:59-60): full timestamp with hour; NULL on
+    out-of-range parts (pd.to_datetime errors='coerce' parity — a plain
+    make_timestamp raises under ANSI for e.g. Feb 30)."""
+    return F.try_make_timestamp(y, m, d, h, F.lit(0), F.lit(0))
 
 
 def day_of_week(c: Column) -> Column:

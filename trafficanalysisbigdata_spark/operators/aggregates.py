@@ -90,9 +90,13 @@ def histogram(df: DataFrame, measure: str, bins: int = 20) -> DataFrame:
         df.crossJoin(F.broadcast(stats))
         .withColumn(
             "bin",
-            F.least(
-                F.floor((F.col(measure) - F.col("lo")) / width).cast("int"),
-                F.lit(bins - 1),
+            # constant column (hi == lo) → width 0 → NaN bins; put everything
+            # in bin 0 instead (numpy.histogram's degenerate-range behavior)
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col(measure) - F.col("lo")) / width).cast("int"),
+                    F.lit(bins - 1),
+                )
             ),
         )
     )

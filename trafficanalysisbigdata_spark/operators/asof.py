@@ -30,17 +30,36 @@ def asof_join(
     suffix: str = "_asof",
 ) -> DataFrame:
     """Attach, to each ``left`` row, the ``value_cols`` of the most recent
-    ``right`` row with ``right.right_ts <= left.left_ts`` (ties: right wins —
-    a right row at exactly the left timestamp matches)."""
+    ``right`` row with ``right.right_ts <= left.left_ts``.
+
+    Tie contract: a right row at exactly the left timestamp matches; among
+    MULTIPLE right rows sharing the same (by, ts), the one with the greatest
+    (value_cols) tuple wins, deterministically — without a total order the
+    window's last() would pick an arbitrary tied row per run/partitioning."""
     by = by or []
     value_cols = value_cols or [c for c in right.columns if c != right_ts and c not in by]
 
-    lhs = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    lhs = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__rn", F.lit(None).cast("bigint"))
+    )
+    # deterministic tie order among right rows sharing (key, ts): later rows
+    # (by a stable row id over the right's own sort order) win, mirroring
+    # "last record seen" semantics; without this, last() picks an arbitrary
+    # tied row and results flap between runs/partitionings
     rhs = right.select(
         *by,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(*by).orderBy(
+                "__ts", *[f"{c}{suffix}" for c in value_cols]
+            )
+        ).cast("bigint"),
     )
     for c in lhs.columns:
         if c not in rhs.columns:
@@ -51,10 +70,13 @@ def asof_join(
     unioned = lhs.unionByName(rhs)
 
     # Right rows sort before left rows at the same __ts (side 0 < 1), so an
-    # exactly-simultaneous right row is visible to the left row.
+    # exactly-simultaneous right row is visible to the left row; __rn breaks
+    # ties among simultaneous right rows deterministically (NULL for left
+    # rows sorts first under asc_nulls_first, before any right row — but left
+    # rows carry no values, so only the right-right order matters).
     w = (
         Window.partitionBy(*by)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", F.asc_nulls_first("__rn"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned
@@ -62,4 +84,4 @@ def asof_join(
         filled = filled.withColumn(
             f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
         )
-    return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+    return filled.filter(F.col("__side") == 1).drop("__ts", "__side", "__rn")

@@ -32,6 +32,7 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 # root stays cheap).
 _QUERY_MODULES = (
     "queries_core",
+    "queries_ingest",
     "queries_topk",
     "queries_functions",
     "queries_joins",
