@@ -1,0 +1,58 @@
+"""Multimodal surface: binary columns, content-hash dedup, and the
+mapInPandas decode plumbing (batch shape, schema, binary round-trip)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from trafficanalysisbigdata_spark.io import register_views
+from trafficanalysisbigdata_spark.operators.multimodal import (
+    extract_media_features,
+    fake_decode,
+    pillow_decode,
+    synthesize_media,
+)
+from trafficanalysisbigdata_spark.session import prep
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    prep(spark)
+    register_views(spark, sf_dir, "documents")
+    return synthesize_media(spark.table("documents"))
+
+
+def test_media_schema(media):
+    dt = dict(media.dtypes)
+    assert dt["content"] == "binary"
+    assert dt["modality"] == "string"
+    assert dt["meta"].startswith("struct<")
+
+
+def test_features_match_local_recompute(spark, media):
+    feats = {r.media_id: r for r in extract_media_features(media).collect()}
+    sample = media.limit(20).collect()
+    assert len(feats) == media.count()
+    for row in sample:
+        raw = bytes(row.content)
+        w, h, luma = fake_decode(raw)
+        got = feats[row.media_id]
+        assert (got.width, got.height) == (w, h)
+        assert abs(got.luma - round(luma, 6)) < 1e-9
+        assert got.n_pixels == w * h
+        assert got.fingerprint == hashlib.md5(raw).hexdigest()
+
+
+def test_features_survive_many_partitions(media):
+    """Arrow batching must be per-partition-safe, including empty partitions."""
+    many = media.repartition(64)
+    out = extract_media_features(many)
+    assert out.count() == media.count()
+    assert out.select("media_id").distinct().count() == media.count()
+
+
+def test_pillow_decoder_stub_raises():
+    with pytest.raises(NotImplementedError, match="pillow"):
+        pillow_decode(b"\x89PNG\r\n")

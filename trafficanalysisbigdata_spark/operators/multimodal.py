@@ -1,0 +1,177 @@
+"""Multimodal (binary) column surface for the training-data pipeline.
+
+Images / audio / video are opaque ``binary`` columns plus a typed metadata
+struct — the lakehouse-standard layout (one row per asset, bytes inline or
+an object-store pointer). Everything metadata-shaped stays in Catalyst
+(hashing, lengths, grouped stats, content-hash dedup: all JVM-side, one
+shuffle per groupBy); only actual DECODING crosses into Python, as an
+Arrow-batched ``mapInPandas`` whose schema/batch plumbing is real and
+tested even where the codec itself is stubbed.
+
+Decoder tiers:
+
+* ``fake_decode`` — deterministic byte arithmetic (dims from the first two
+  content bytes, a luma proxy from a byte sum). Pure function of the bytes,
+  so the whole mapInPandas pipeline is DuckDB-oracle-checkable end to end —
+  the plumbing is verified, not just smoke-tested.
+* ``pillow_decode`` — the production shape: decodes real images via PIL,
+  which is NOT installed in this container → raises NotImplementedError at
+  call time with instructions; import of this module never fails.
+
+Scale notes: content bytes never shuffle in the metadata queries (hash and
+length are computed at scan, columns pruned before any exchange); the
+mapInPandas stage is embarrassingly parallel per input partition and emits
+only small feature rows. Dedup groups on the 16-byte md5, not the content.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_FEATURE_SCHEMA = (
+    "media_id bigint, modality string, width int, height int, "
+    "n_pixels bigint, luma double, fingerprint string"
+)
+
+MODALITIES = ("image", "audio", "video")
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from ``documents``: the text bytes stand in
+    for encoded content (the fixtures ship no real binaries). Schema is the
+    real thing: (media_id, modality, content binary, meta struct)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.col("n_chars").cast("long").alias("n_bytes"),
+            F.col("source").alias("origin"),
+            F.col("lang").alias("tag"),
+        ).alias("meta"),
+    )
+
+
+def content_fingerprint(content: F.Column) -> F.Column:
+    """16-byte content hash — the dedup key. md5 over the raw bytes, engine-
+    portable (DuckDB md5(blob/text) agrees on identical bytes)."""
+    return F.md5(content)
+
+
+def media_dedup_summary(media: DataFrame) -> DataFrame:
+    """Exact content dedup: group on the fingerprint, never the content.
+    One shuffle of (16-byte hash, id) pairs regardless of asset size."""
+    groups = media.groupBy(content_fingerprint(F.col("content")).alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("media_id").alias("keeper"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_copies").cast("bigint").alias("n_assets"),
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("bigint").alias("n_dupes"),
+        F.sum("keeper").cast("bigint").alias("keeper_id_sum"),
+    )
+
+
+def media_stats_by_modality(media: DataFrame) -> DataFrame:
+    """Per-modality asset stats: counts, byte volume, distinct contents."""
+    return (
+        media.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.octet_length("content")).cast("bigint").alias("total_bytes"),
+            F.countDistinct(content_fingerprint(F.col("content"))).alias("n_distinct"),
+            F.max(F.col("meta.n_bytes")).cast("bigint").alias("max_meta_bytes"),
+        )
+        .orderBy("modality")
+    )
+
+
+# --- decoders ------------------------------------------------------------
+def fake_decode(content: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for an image codec: (width, height, luma).
+    width/height from the first two bytes, luma = mean byte value / 255."""
+    b0 = content[0] if len(content) > 0 else 0
+    b1 = content[1] if len(content) > 1 else 0
+    width = 64 + (b0 % 192)
+    height = 64 + (b1 % 192)
+    luma = (sum(content) / len(content) / 255.0) if content else 0.0
+    return width, height, luma
+
+
+def pillow_decode(content: bytes) -> tuple[int, int, float]:
+    """Production decoder shape — requires pillow, which this environment
+    does not ship. The mapInPandas plumbing around it is identical to
+    ``fake_decode``'s; swap the callable when the codec is available."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires pillow (pip install pillow); "
+            "use fake_decode for plumbing tests in codec-less environments"
+        ) from e
+    import io as _io
+
+    from PIL import Image
+
+    img = Image.open(_io.BytesIO(content)).convert("L")
+    px = list(img.getdata())
+    return img.width, img.height, (sum(px) / len(px) / 255.0) if px else 0.0
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode: Callable[[bytes], tuple[int, int, float]] = fake_decode,
+) -> DataFrame:
+    """The decode/feature stage: Arrow-batched ``mapInPandas`` over
+    (media_id, modality, content) emitting small typed feature rows.
+
+    Column-pruned input (content is read but never shuffled), per-partition
+    parallelism, bounded memory per batch (Arrow slices) — the shape that
+    holds when 'content' is megabytes per row and the cluster has 1000
+    executors. ``decode`` is pluggable: fake for tests, pillow/ffmpeg-backed
+    in production."""
+    pruned = media.select("media_id", "modality", "content")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            feats = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                raw = bytes(content) if content is not None else b""
+                w, h, luma = decode(raw)
+                feats.append(
+                    (
+                        int(mid),
+                        modality,
+                        w,
+                        h,
+                        w * h,
+                        round(luma, 6),
+                        hashlib.md5(raw).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                feats,
+                columns=[
+                    "media_id",
+                    "modality",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "luma",
+                    "fingerprint",
+                ],
+            )
+
+    return pruned.mapInPandas(_batches, MEDIA_FEATURE_SCHEMA)

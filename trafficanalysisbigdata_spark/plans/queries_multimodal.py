@@ -1,0 +1,114 @@
+"""Multimodal-column queries over the synthesized media table (binary
+content + typed metadata from ``documents``; see operators/multimodal.py).
+
+mm3 is notable: it oracle-checks a ``mapInPandas`` decode stage end to end —
+the fake codec is pure byte arithmetic, so DuckDB can recompute the same
+features relationally (ord/substr per byte) and the Arrow plumbing itself is
+what's under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    extract_media_features,
+    media_dedup_summary,
+    media_stats_by_modality,
+    synthesize_media,
+)
+from .registry import register
+
+_MODALITY_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@register(
+    "mm1_media_dedup",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT COUNT(*) AS n_unique,
+           CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dupes,
+           CAST(SUM(keeper) AS BIGINT) AS keeper_id_sum
+    FROM groups
+    """,
+    tags=("multimodal", "dedup"),
+    tables=("documents",),
+)
+def mm1_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over binary assets: group on md5(content) — a
+    16-byte shuffle key no matter how large the assets are."""
+    return media_dedup_summary(synthesize_media(spark.table("documents")))
+
+
+@register(
+    "mm2_media_stats_by_modality",
+    oracle=f"""
+    SELECT {_MODALITY_SQL} AS modality,
+           COUNT(*) AS n_assets,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           CAST(MAX(n_chars) AS BIGINT) AS max_meta_bytes
+    FROM documents
+    GROUP BY modality ORDER BY modality
+    """,
+    tags=("multimodal", "stats"),
+    tables=("documents",),
+)
+def mm2_media_stats_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality asset inventory: counts, byte volume, distinct contents,
+    metadata bounds — all Catalyst, content never shuffles."""
+    return media_stats_by_modality(synthesize_media(spark.table("documents")))
+
+
+@register(
+    "mm3_media_features",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, SUM(unicode(substr(text, i.i, 1))) AS byte_sum
+      FROM documents, (SELECT UNNEST(range(1, 700)) AS i) i
+      WHERE i.i <= strlen(text)
+      GROUP BY doc_id
+    ), feats AS (
+      SELECT d.doc_id,
+             CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             64 + (unicode(substr(d.text, 1, 1)) % 192) AS width,
+             64 + (CASE WHEN strlen(d.text) >= 2
+                        THEN unicode(substr(d.text, 2, 1)) ELSE 0 END % 192) AS height,
+             ROUND(b.byte_sum / strlen(d.text) / 255.0, 6) AS luma
+      FROM documents d JOIN bytes b ON b.doc_id = d.doc_id
+    )
+    SELECT modality,
+           COUNT(*) AS n,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height,
+           CAST(SUM(width * height) AS BIGINT) AS sum_pixels,
+           ROUND(SUM(luma), 4) AS sum_luma
+    FROM feats GROUP BY modality ORDER BY modality
+    """,
+    tags=("multimodal", "mapInPandas", "U4-shape"),
+    tables=("documents",),
+)
+def mm3_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched mapInPandas (fake codec:
+    deterministic byte arithmetic), aggregated per modality. The oracle
+    recomputes the identical features relationally, so the batch plumbing —
+    schema, binary round-trip, per-partition batching — is hash-verified."""
+    feats = extract_media_features(synthesize_media(spark.table("documents")))
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+            F.sum("n_pixels").cast("bigint").alias("sum_pixels"),
+            F.round(F.sum("luma"), 4).alias("sum_luma"),
+        )
+        .orderBy("modality")
+    )

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "queries_wide",
     "queries_text",
     "queries_geo",
+    "queries_multimodal",
     "queries_dedup",
     "queries_similarity",
     "queries_streaming",

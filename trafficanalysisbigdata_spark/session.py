@@ -61,6 +61,35 @@ def get_session(app_name: str = "trafficanalysisbigdata_spark") -> SparkSession:
     return spark
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers.
+
+    Closures that reference module-level functions (mapInPandas decoders,
+    pandas UDF helpers) are pickled BY REFERENCE — workers must import the
+    module. A driver that found us via sys.path manipulation does not pass
+    that path to its Python workers, so ship the package source as a zip via
+    addPyFile (the same mechanism a real cluster submit uses)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_tabd_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"trafficanalysisbigdata_spark_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._tabd_pkg_shipped = True
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Apply the runtime confs to an externally-provided session.
 
@@ -68,6 +97,7 @@ def prep(spark: SparkSession) -> SparkSession:
     calls this first so semantics (UTC event time, AQE, Arrow) hold no matter
     who built the session. All keys here are dynamically settable.
     """
+    _ship_package(spark)
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
