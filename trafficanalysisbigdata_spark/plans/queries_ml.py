@@ -52,6 +52,52 @@ def ml5_abnormal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r["confusion"].withColumn("accuracy", F.round(F.lit(r["accuracy"]), 4))
 
 
+@register("ml7_rf_melted", oracle=None, tags=("ml", "M7"), tables=("events",))
+def ml7_rf_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 (ref proto:139-174): RF regression on MELTED long-format data —
+    pivot events to a wide per-(user, date) hourly layout, melt back with the
+    F13 hour parse, fit volume ~ [user_id, hour]. Exercises the wide→long
+    reshape feeding a model, the proto pipeline's distinguishing move."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    ev = spark.table("events")
+    wide = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .pivot("event_type")
+        .agg(F.sum("value"))
+        .na.fill(0.0)
+    )
+    type_cols = [c for c in wide.columns if c not in ("user_id", "d")]
+    long = wide.melt(
+        ids=["user_id"],
+        values=type_cols,
+        variableColumnName="etype",
+        valueColumnName="total",
+    ).withColumn(
+        "type_idx",
+        F.array_position(F.array(*[F.lit(c) for c in sorted(type_cols)]), F.col("etype")).cast("int"),
+    )
+    assembler = VectorAssembler(inputCols=["user_id", "type_idx"], outputCol="features")
+    rf = RandomForestRegressor(
+        featuresCol="features", labelCol="total", numTrees=50, seed=models.SEED
+    )
+    train, test = long.randomSplit([0.8, 0.2], seed=models.SEED)
+    model = Pipeline(stages=[assembler, rf]).fit(train)
+    pred = model.transform(test)
+    mse = RegressionEvaluator(
+        labelCol="total", predictionCol="prediction", metricName="mse"
+    ).evaluate(pred)
+    r2 = RegressionEvaluator(
+        labelCol="total", predictionCol="prediction", metricName="r2"
+    ).evaluate(pred)
+    return spark.createDataFrame(
+        [(float(mse), float(r2), int(pred.count()))], "mse double, r2 double, n_test long"
+    )
+
+
 @register("ml6_gbt_regression", oracle=None, tags=("ml", "M6"), tables=("events",))
 def ml6_gbt_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 GBT regression of daily totals (ref proto:234-288, cleaned — no

@@ -1,0 +1,113 @@
+"""Source/sink queries (SURVEY.md §2.1: S2/S5/S7) — the scan-surface tail
+round 1 left driver-invisible.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, write_partitioned
+from .registry import register
+
+
+@register(
+    "s2_single_page_scan",
+    oracle="""
+    WITH page AS (
+      SELECT event_id, value FROM events ORDER BY event_id LIMIT 1000
+    )
+    SELECT COUNT(*) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM page
+    """,
+    tags=("source", "S2"),
+    tables=("events",),
+)
+def s2_single_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (ref QuickFetch.py:31-48, first-page-only fetch): the first 1000
+    rows in feed order. A bare ``.limit`` grabs arbitrary partitions, so the
+    page is pinned to id order — Spark plans it as TakeOrderedAndProject."""
+    page = spark.table("events").select("event_id", "value").orderBy("event_id").limit(1000)
+    return page.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "s5_pandas_handoff",
+    oracle="""
+    WITH src AS (
+      SELECT i AS rid,
+             CASE WHEN i % 13 = 0 THEN 'oops' ELSE CAST(i * 3 AS VARCHAR) END AS vol
+      FROM (SELECT UNNEST(range(200)) AS i)
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(TRY_CAST(vol AS INT)) AS BIGINT) AS sum_vol,
+           CAST(SUM(CASE WHEN TRY_CAST(vol AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_malformed
+    FROM src
+    """,
+    tags=("source", "S5"),
+    tables=(),
+)
+def s5_pandas_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (ref TrafficAnalysis.py:124-127): driver-side pandas frame →
+    Arrow-backed createDataFrame → typed cast (volume to int, NULL on
+    malformed). The handoff belongs ONLY at ingest boundaries; everything
+    downstream is a plain distributed DataFrame."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "rid": range(200),
+            "vol": ["oops" if i % 13 == 0 else str(i * 3) for i in range(200)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    typed = df.withColumn("vol_i", F.col("vol").try_cast("int"))
+    return typed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vol_i").cast("bigint").alias("sum_vol"),
+        F.sum(F.col("vol_i").isNull().cast("int")).cast("bigint").alias("n_malformed"),
+    )
+
+
+@register(
+    "s7_partitioned_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sink", "S7"),
+    tables=("events",),
+)
+def s7_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: write events as an event_type-partitioned parquet layout (the
+    lakehouse fact-table shape — partition pruning comes free on the read
+    side), read it back, aggregate. The oracle aggregates the original
+    table, so the round-trip must preserve every row and value exactly."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(
+        tempfile.gettempdir(), f"s7_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_partitioned(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )

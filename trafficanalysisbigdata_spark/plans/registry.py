@@ -33,6 +33,7 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 _QUERY_MODULES = (
     "queries_core",
     "queries_ingest",
+    "queries_sources",
     "queries_topk",
     "queries_functions",
     "queries_joins",
