@@ -43,11 +43,15 @@ BENCH_QUERIES = [
     "f16_row_sums",
     "f20_unpivot_measures",
     "tx2_quality_by_source",
+    "ing1_traffic_normalize",
+    "f18_reproject_epsg2263",
+    "mm3_media_features",
     "dd1_exact_dedup",
     "dd2_minhash_lsh",
     "dd3_simhash_groups",
     "dd4_ngram_jaccard",
     "sim1_ann_topk_bruteforce",
+    "sim3_ann_topk_lsh",
     "sim4_lsh_neardup_pairs",
 ]
 

@@ -71,3 +71,17 @@ def test_date_from_parts_null_propagation(spark):
     assert got[0] == dt.date(2024, 5, 17)
     assert got[1] is None  # NULL part must NOT collapse into '2024-05'
     assert got[2] is None  # out of range coerces like pandas NaT
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL++ is the 100 TB distinct path (olap4 keeps the oracle exact);
+    its estimate must land within 5% of truth on the fixture."""
+    from trafficanalysisbigdata_spark.io import load_table
+
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    ).collect()[0]
+    assert abs(r.approx - r.exact) / r.exact < 0.05

@@ -223,6 +223,82 @@ def lsh_neardup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into cluster lists; each probe scores only the
+    ``n_probe`` nearest clusters' vectors.
+
+    The alternative scale path to LSH (``lsh_topk``): better when the corpus
+    HAS cluster structure (real embedding corpora do; the synthetic
+    near-uniform fixtures are its worst case — measured candidate recall
+    0.76 at 47% candidate fraction with 16/6, asserted ≥ 0.6 in tests).
+    Centroids are tiny (n_clusters × dim) so the probe→centroid shortlist
+    is a broadcast cross join; the candidate fetch is an equi-join on the
+    cluster id — never a corpus cross join. Fit cost is MLlib's distributed
+    k-means, amortized over the query batch (production would persist the
+    model + assignments as an index table)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    as_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus_v = corpus.withColumn("__v", array_to_vector(as_dbl))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__cluster"
+    ).fit(corpus_v)
+    assigned = model.transform(corpus_v).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("__cluster").alias("cl"),
+    )
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cl int, center array<double>",
+    )
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    sq_dist = F.aggregate(
+        F.zip_with(
+            F.transform("query_vec", lambda x: x.cast("double")),
+            F.col("center"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wshort = Window.partitionBy("query_id").orderBy("d", "cl")
+    shortlist = (
+        p.crossJoin(F.broadcast(centers))
+        .withColumn("d", sq_dist)
+        .withColumn("rn", F.row_number().over(wshort))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "query_vec", "cl")
+    )
+    scored = (
+        shortlist.join(assigned, "cl")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def threshold_pairs(
     corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1,0 +1,136 @@
+"""OLAP extras the engine inherits from Spark for free (SURVEY.md §2.4 notes
+them as non-parity-required; a complete engine ships them anyway): rollup,
+cube, grouping sets, approximate distinct. All fully oracle-checked —
+DuckDB shares the GROUPING SETS surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+@register(
+    "olap1_rollup_region_nation",
+    oracle="""
+    SELECT COALESCE(r_name, '<all>') AS region,
+           COALESCE(n_name, '<all>') AS nation,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+           COUNT(*) AS n
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+    """,
+    tags=("olap", "rollup"),
+    tables=("supplier", "nation", "region"),
+)
+def olap1_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total) in one pass —
+    Spark's Expand node emits the grouping-set replicas map-side, so the
+    cost is one shuffle regardless of hierarchy depth."""
+    sup = (
+        spark.table("supplier")
+        .join(F.broadcast(spark.table("nation")), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(spark.table("region")), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    return (
+        sup.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("s_acctbal").cast("decimal(18,6)")).cast("double").alias("total_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            "total_bal",
+            "n",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "olap2_cube_flag_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY flag, status
+    """,
+    tags=("olap", "cube"),
+    tables=("lineitem",),
+)
+def olap2_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two categoricals — all four grouping sets in one
+    shuffle via Expand."""
+    li = spark.table("lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+@register(
+    "olap3_grouping_sets",
+    oracle="""
+    SELECT COALESCE(event_type, '<all>') AS etype,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))
+    ORDER BY etype, d
+    """,
+    tags=("olap", "grouping-sets"),
+    tables=("events",),
+)
+def olap3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: by-type and by-day marginals in one pass
+    (spark.sql — GROUPING SETS has no DataFrame-API spelling)."""
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '<all>') AS etype,
+               COALESCE(CAST(to_date(ts) AS STRING), '<all>') AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (to_date(ts)))
+        ORDER BY etype, d
+        """
+    )
+
+
+@register(
+    "olap4_approx_vs_exact_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT event_type) AS exact_types
+    FROM events
+    """,
+    tags=("olap", "approx"),
+    tables=("events",),
+)
+def olap4_approx_vs_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distincts, oracle-checked. approx_count_distinct (HLL++) is the
+    100 TB path but its estimate is engine-specific, so the approx variant
+    is asserted separately in tests (within 5% of exact), not hash-compared."""
+    ev = spark.table("events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_type").alias("exact_types"),
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_neardup_pairs,
     lsh_topk,
     threshold_pairs,
@@ -159,3 +160,19 @@ def sim4_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(
         spark.table("embeddings"), threshold=0.3, n_tables=_L, n_planes=_P, dim=_DIM
     )
+
+
+@register(
+    "sim5_ann_topk_ivf",
+    oracle=None,  # k-means quantizer isn't SQL-expressible; recall vs sim1
+    # is asserted in tests/test_similarity.py
+    tags=("similarity", "ann", "ivf"),
+    tables=("embeddings",),
+)
+def sim5_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: k-means coarse quantizer (16 lists), probes
+    score only their 6 nearest lists. The cluster-structured alternative to
+    sim3's LSH — candidate fetch is an equi-join on cluster id."""
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, probes, k=5, n_clusters=16, n_probe=6)

@@ -156,3 +156,107 @@ def tx5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_fingerprint(F.col("text")).alias("fp_md5"),
         rolling_hash(F.col("text")).alias("fp_rolling"),
     )
+
+
+@register(
+    "tx6_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT token,
+           CAST(SUM(tf.tf) AS BIGINT) AS total_tf,
+           ROUND(SUM(tf.tf * ln((n_docs + 1.0) / (df + 1.0))), 4) AS total_tfidf
+    FROM tf JOIN dfreq USING (token), n
+    GROUP BY token
+    ORDER BY total_tfidf DESC, token
+    LIMIT 10
+    """,
+    tags=("text", "tfidf"),
+    tables=("documents",),
+)
+def tx6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (smoothed IDF = ln((N+1)/(df+1))): per-doc term
+    frequencies, document frequencies, and the corpus-level top-10 terms by
+    summed TF-IDF. Two groupBys and a broadcast scalar — the classic
+    map-side-combine shape that holds at any corpus size."""
+    from ..functions.text import tokens as _tokens
+
+    docs = spark.table("documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    return (
+        scored.groupBy("token")
+        .agg(
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.round(F.sum("tfidf"), 4).alias("total_tfidf"),
+        )
+        .orderBy(F.desc("total_tfidf"), "token")
+        .limit(10)
+    )
+
+
+@register(
+    "tx7_token_entropy_by_lang",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), totals AS (
+      SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id
+    ), ent AS (
+      SELECT tf.doc_id,
+             -SUM((c * 1.0 / n) * log2(c * 1.0 / n)) AS h
+      FROM tf JOIN totals USING (doc_id)
+      GROUP BY tf.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(h), 4) AS sum_entropy
+    FROM ent JOIN documents USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "entropy", "quality"),
+    tables=("documents",),
+)
+def tx7_token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (repetitive
+    boilerplate scores low — a quality signal), rolled up per language."""
+    from ..functions.text import tokens as _tokens
+
+    docs = spark.table("documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    ent = (
+        tf.join(totals, "doc_id")
+        .withColumn("p", F.col("c") * 1.0 / F.col("n"))
+        .groupBy("doc_id")
+        .agg((-F.sum(F.col("p") * F.log2("p"))).alias("h"))
+    )
+    return (
+        ent.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("h"), 4).alias("sum_entropy"),
+        )
+        .orderBy("lang")
+    )

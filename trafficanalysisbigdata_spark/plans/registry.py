@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "queries_windows",
     "queries_wide",
     "queries_text",
+    "queries_olap",
     "queries_geo",
     "queries_multimodal",
     "queries_dedup",
