@@ -172,6 +172,47 @@ def p5_drop_half_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p4_drop_null_subset",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS a,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS b,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS c
+      FROM events
+    )
+    SELECT COUNT(*) AS n_kept,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           COUNT(DISTINCT c) AS n_types
+    FROM sparse
+    WHERE a IS NOT NULL AND b IS NOT NULL
+    """,
+    tags=("ingest", "P4"),
+    tables=("events",),
+)
+def p4_drop_null_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (ref TrafficAnalysis.py:76-77, dropna(subset=...)): drop rows where
+    ANY of the subset columns is NULL — na.drop(subset) over two synthetic
+    nullable fields; a third nullable column must survive untouched."""
+    from ..operators.filters import drop_null_rows
+
+    ev = spark.table("events")
+    eid = F.col("event_id")
+    sparse = ev.select(
+        "event_id",
+        F.when(eid % 3 == 0, None).otherwise(F.col("value")).alias("a"),
+        F.when(eid % 5 == 0, None).otherwise(F.col("user_id")).alias("b"),
+        F.when(eid % 7 == 0, None).otherwise(F.col("event_type")).alias("c"),
+    )
+    kept = drop_null_rows(sparse, ["a", "b"])
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("b").cast("bigint").alias("sum_b"),
+        F.countDistinct("c").alias("n_types"),
+    )
+
+
+@register(
     "f11_lenient_dates",
     oracle="""
     WITH raw AS (

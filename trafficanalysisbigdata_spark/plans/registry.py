@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "queries_wide",
     "queries_text",
     "queries_olap",
+    "queries_pipeline",
     "queries_geo",
     "queries_multimodal",
     "queries_dedup",
