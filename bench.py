@@ -38,11 +38,15 @@ BENCH_QUERIES = [
     "j2_star_region_rollup",
     "j5_range_join_ship_lag",
     "j6_asof_join_daily_close",
+    "j7_salted_skew_join",
+    "olap2_cube_flag_status",
     "w4_running_user_totals",
     "w5_type_rank_by_day",
     "f16_row_sums",
     "f20_unpivot_measures",
     "tx2_quality_by_source",
+    "tx6_tfidf_top_terms",
+    "pipe1_pretrain_funnel",
     "ing1_traffic_normalize",
     "f18_reproject_epsg2263",
     "mm3_media_features",

@@ -85,3 +85,19 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("approx"),
     ).collect()[0]
     assert abs(r.approx - r.exact) / r.exact < 0.05
+
+
+def test_salted_join_left_outer_and_determinism(spark):
+    """Unmatched left rows carry exactly one salt, so a left join keeps them
+    exactly once; deterministic salts mean two runs agree row-for-row."""
+    from trafficanalysisbigdata_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (99, "orphan")], "k int, v string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, w string")
+    out = salted_join(left, right, key="k", n_salts=4, how="left")
+    rows = sorted((r.k, r.v, r.w) for r in out.collect())
+    assert rows == [(1, "a", "X"), (1, "b", "X"), (2, "c", "Y"), (99, "orphan", None)]
+    again = sorted((r.k, r.v, r.w) for r in salted_join(left, right, "k", 4, "left").collect())
+    assert again == rows

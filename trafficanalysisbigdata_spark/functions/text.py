@@ -77,6 +77,20 @@ def rolling_hash(text: Column, mod: int = ROLLING_MOD) -> Column:
     )
 
 
+# BPE-style pre-tokenizer classes: letter runs, digit runs, single symbols —
+# the split a subword tokenizer applies before merges, so counting these
+# approximates a BPE token budget far better than whitespace words do
+# (e.g. "world42," is 1 word but 3 pre-tokens).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Regex pre-tokenization (letters | digits | symbol), the
+    whitespace-tokenizer's companion for token-budget estimation. Pure
+    Catalyst ``regexp_extract_all`` — per-row, JVM-side, no UDF."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def token_bigrams(text: Column) -> Column:
     """Adjacent-token shingles for n-gram Jaccard dedup (0-based F.get).
 

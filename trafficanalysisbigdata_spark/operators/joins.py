@@ -34,6 +34,37 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on, "left_anti")
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: hot keys on the ``skewed`` side are spread
+    across ``n_salts`` sub-keys; ``other`` is replicated once per salt so
+    every sub-key still finds its matches.
+
+    AQE's skew-join split handles sort-merge skew automatically, but only at
+    shuffle-partition granularity and only for joins — this is the manual
+    fallback when one key dominates so hard that a single (key, partition)
+    cell overflows an executor (the 100 TB "null user_id" / boilerplate-dup
+    problem), or when the downstream op is a groupBy on the same key.
+
+    The salt is derived from the row (xxhash64 of all columns), not random —
+    plans stay deterministic and re-executable (a task retry reproduces the
+    same salt, which rand() would not). Replication multiplies ``other``'s
+    shuffle volume by n_salts: use against dimension-ish or pre-aggregated
+    right sides, and keep n_salts near the executor-count/hot-key ratio.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = skewed.withColumn("__salt", salt.cast("int"))
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return left.join(right, [key, "__salt"], how).drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

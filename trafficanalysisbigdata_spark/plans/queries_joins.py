@@ -208,3 +208,41 @@ def j6_asof_join_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "j7_salted_skew_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_sales,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("join", "skew", "salt"),
+    tables=("orders", "customer"),
+)
+def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/joins.salted_join): the fact side's key is
+    spread over 8 deterministic salts, the customer side replicated per salt,
+    so a hot customer key splits across 8 reducers instead of one. The oracle
+    is the PLAIN join — salting must be invisible in results; this query is
+    the standing proof (and the plan shows the (key, salt) composite shuffle).
+    """
+    from ..functions.numeric import dec
+    from ..operators.joins import salted_join
+
+    orders = spark.table("orders")
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, key="o_custkey", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

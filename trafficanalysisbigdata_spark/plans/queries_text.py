@@ -159,6 +159,48 @@ def tx5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx8_bpe_token_budget",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+             AS bpe_tokens,
+           ROUND(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS DOUBLE)
+                 / SUM(len({_TOKS})), 4) AS fertility
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokens", "bpe"),
+    tables=("documents",),
+)
+def tx8_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimate under a BPE-style pre-tokenizer (letter runs |
+    digit runs | single symbols) vs the whitespace count, per language —
+    'fertility' (bpe/ws ratio) is the standard sizing signal for how many
+    model tokens a corpus actually costs. Same regex on both engines."""
+    from ..functions.text import bpe_ish_tokens
+
+    docs = spark.table("documents")
+    ws = token_count(F.col("text"))
+    bpe = F.size(bpe_ish_tokens(F.col("text")))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "ws_tokens",
+            "bpe_tokens",
+            F.round(F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 4).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "tx6_tfidf_top_terms",
     oracle=f"""
     WITH tok AS (
