@@ -167,3 +167,103 @@ def pipe2_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_guess")
     )
+
+
+# sim4's LSH defaults + hyperplane CTE, reused for the embedding signal
+from .queries_similarity import _DIM, _L, _P, _SIGS_CTE
+
+
+@register(
+    "pipe3_multisignal_dedup",
+    oracle=f"""
+    WITH {_SIGS_CTE},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id),
+    edup AS (
+      SELECT DISTINCT cand.id2 AS doc_id
+      FROM cand
+      JOIN embeddings x ON x.vec_id = cand.id1
+      JOIN embeddings y ON y.vec_id = cand.id2
+      WHERE ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])), 6) >= 0.3),
+    xdup AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS kp FROM documents
+      ) WHERE doc_id <> kp),
+    tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES}
+      FROM tok GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS INT) AS simhash FROM votes
+    ), sdup AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY simhash) AS kp FROM fp
+      ) WHERE doc_id <> kp),
+    u AS (
+      SELECT doc_id FROM xdup UNION SELECT doc_id FROM sdup UNION SELECT doc_id FROM edup)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM xdup) AS n_exact_dups,
+           (SELECT COUNT(*) FROM sdup) AS n_simhash_dups,
+           (SELECT COUNT(*) FROM edup) AS n_embed_dups,
+           (SELECT COUNT(*) FROM u) AS n_flagged,
+           (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM u) AS n_survivors
+    """,
+    tags=("pipeline", "dedup", "multisignal", "embedding"),
+    tables=("documents", "embeddings"),
+)
+def pipe3_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup union: a document is flagged if ANY signal fires —
+    exact text group (non-keeper), SimHash-16 collision (non-keeper), or
+    embedding-cosine near-dup (greater id of an LSH-candidate pair with
+    cos ≥ 0.3; embeddings.vec_id ≡ documents.doc_id in the fixtures).
+
+    Real corpus builds run exactly this OR-combination — lexical signals
+    catch verbatim/boilerplate copies, the embedding signal catches
+    paraphrases. Per signal the shape is the already-audited scale path
+    (groupBy text / groupBy fingerprint / banded LSH join); the union is a
+    distinct over flagged ids — no new joins, no pair explosion."""
+    from ..operators.similarity import lsh_neardup_pairs
+
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+
+    exact = docs.groupBy("text").agg(F.min("doc_id").alias("kp"))
+    xdup = (
+        docs.join(exact, "text")
+        .filter(F.col("doc_id") != F.col("kp"))
+        .select("doc_id")
+    )
+    fp = simhash16(doc_token_sets(docs))
+    skeep = fp.groupBy("simhash").agg(F.min("doc_id").alias("kp"))
+    sdup = (
+        fp.join(skeep, "simhash")
+        .filter(F.col("doc_id") != F.col("kp"))
+        .select("doc_id")
+    )
+    edup = (
+        lsh_neardup_pairs(emb, threshold=0.3, n_tables=_L, n_planes=_P, dim=_DIM)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    union = xdup.union(sdup).union(edup).distinct()
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = (
+        n_docs.crossJoin(F.broadcast(xdup.agg(F.count(F.lit(1)).alias("n_exact_dups"))))
+        .crossJoin(F.broadcast(sdup.agg(F.count(F.lit(1)).alias("n_simhash_dups"))))
+        .crossJoin(F.broadcast(edup.agg(F.count(F.lit(1)).alias("n_embed_dups"))))
+        .crossJoin(F.broadcast(union.agg(F.count(F.lit(1)).alias("n_flagged"))))
+    )
+    return counts.select(
+        "n_docs",
+        "n_exact_dups",
+        "n_simhash_dups",
+        "n_embed_dups",
+        "n_flagged",
+        (F.col("n_docs") - F.col("n_flagged")).alias("n_survivors"),
+    )
