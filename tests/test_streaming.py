@@ -145,3 +145,63 @@ def test_watermark_drops_late_data(spark, tmp_path):
         1
     ).write.mode("append").parquet(src)
     assert run_once() == [("2024-01-01 04:00:00", 3.0, 1)]
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState cumulative totals: after AvailableNow drains
+    every file, each user's last emitted row equals the batch groupBy."""
+    import pytest
+
+    from trafficanalysisbigdata_spark.streaming.stateful import (
+        stateful_running_totals,
+    )
+
+    prep(spark)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .filter(F.col("user_id") < 20)
+    )
+    src = str(tmp_path / "stateful_src")
+    # two files => at least two micro-batches with maxFilesPerTrigger=1,
+    # so state must actually carry across batches
+    half = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.mode("append").parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_rows = spark.table("running_totals").collect()
+    assert len(got_rows) > len({r.user_id for r in got_rows}), (
+        "expected multiple emissions per key across micro-batches"
+    )
+    # totals only grow -> the row with max n per user is the final state
+    final = {}
+    for r in got_rows:
+        if r.user_id not in final or r.n > final[r.user_id].n:
+            final[r.user_id] = r
+    expected = {
+        r.user_id: r
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, want in expected.items():
+        assert final[uid].n == want.n, uid
+        assert final[uid].total == pytest.approx(want.total, rel=1e-9), uid
