@@ -56,3 +56,19 @@ def test_features_survive_many_partitions(media):
 def test_pillow_decoder_stub_raises():
     with pytest.raises(NotImplementedError, match="pillow"):
         pillow_decode(b"\x89PNG\r\n")
+
+
+def test_sample_frames_ragged_tail(spark):
+    """67 bytes at frame_bytes=32 -> 3 frames: 32+32+3; empty content -> 0."""
+    from trafficanalysisbigdata_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "video", b"x" * 67), (2, "video", b""), (3, "image", b"y" * 64)],
+        "media_id long, modality string, content binary",
+    )
+    rows = sorted(
+        (r.media_id, r.frame_idx, len(bytes(r.frame)))
+        for r in sample_frames(media, frame_bytes=32).collect()
+    )
+    # image row filtered out; empty video emits no frames
+    assert rows == [(1, 0, 32), (1, 1, 32), (1, 2, 3)]

@@ -175,3 +175,63 @@ def extract_media_features(
             )
 
     return pruned.mapInPandas(_batches, MEDIA_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame binary"
+
+RESIZED_SCHEMA = (
+    "media_id bigint, modality string, content binary, width int, height int, luma double"
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 32, modality: str = "video"
+) -> DataFrame:
+    """Frame sampling: one asset row fans out to ceil(len/frame_bytes) frame
+    rows — the video-pipeline shape (ffmpeg keyframe extraction in
+    production; deterministic byte-chunking here so the fan-out plumbing is
+    oracle-checkable). mapInPandas emits frames per input partition: no
+    shuffle to fan out, and downstream ops see small per-frame rows instead
+    of whole-asset blobs."""
+    pruned = media.filter(F.col("modality") == modality).select("media_id", "content")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                for i in range(0, (len(raw) + frame_bytes - 1) // frame_bytes):
+                    rows.append((int(mid), i, raw[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return pruned.mapInPandas(_batches, FRAME_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame,
+    max_bytes: int = 128,
+    decode: Callable[[bytes], tuple[int, int, float]] = fake_decode,
+) -> DataFrame:
+    """Resize/downsample stage: binary in → smaller binary out plus re-decoded
+    features of the RESIZED content. The fake transform truncates to
+    ``max_bytes`` (a real one re-encodes at lower resolution); either way the
+    contract is identical — content column replaced, features recomputed, row
+    count preserved — which is what the oracle verifies."""
+    pruned = media.select("media_id", "modality", "content")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                raw = bytes(content) if content is not None else b""
+                resized = raw[:max_bytes]
+                w, h, luma = decode(resized)
+                rows.append((int(mid), modality, resized, w, h, round(luma, 6)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "modality", "content", "width", "height", "luma"],
+            )
+
+    return pruned.mapInPandas(_batches, RESIZED_SCHEMA)

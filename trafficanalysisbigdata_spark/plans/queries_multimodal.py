@@ -112,3 +112,82 @@ def mm3_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@register(
+    "mm4_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT media_id, i.i AS frame_idx, substr(text, i.i * 32 + 1, 32) AS frame
+      FROM vids, (SELECT UNNEST(range(0, 64)) AS i) i
+      WHERE i.i * 32 < strlen(text)
+    )
+    SELECT COUNT(DISTINCT media_id) AS n_videos,
+           COUNT(*) AS n_frames,
+           COUNT(DISTINCT md5(frame)) AS n_distinct_frames,
+           CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx
+    FROM frames
+    """,
+    tags=("multimodal", "frames", "mapInPandas"),
+    tables=("documents",),
+)
+def mm4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video assets: 1→N fan-out inside mapInPandas
+    (32-byte deterministic chunks standing in for keyframes), then frame
+    inventory stats. The oracle re-chunks relationally, so the fan-out row
+    multiplication and ragged-tail handling are hash-verified."""
+    from ..operators.multimodal import sample_frames
+
+    frames = sample_frames(synthesize_media(spark.table("documents")), frame_bytes=32)
+    return frames.agg(
+        F.countDistinct("media_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct(F.md5("frame")).alias("n_distinct_frames"),
+        F.sum("frame_idx").cast("bigint").alias("sum_frame_idx"),
+    )
+
+
+@register(
+    "mm5_resize_summary",
+    oracle=f"""
+    WITH clipped AS (
+      SELECT doc_id, substr(text, 1, 128) AS ctext,
+             {_MODALITY_SQL} AS modality
+      FROM documents
+    ), bytes AS (
+      SELECT doc_id, SUM(unicode(substr(ctext, i.i, 1))) AS byte_sum
+      FROM clipped, (SELECT UNNEST(range(1, 129)) AS i) i
+      WHERE i.i <= strlen(ctext)
+      GROUP BY doc_id
+    )
+    SELECT modality,
+           COUNT(*) AS n,
+           CAST(SUM(strlen(ctext)) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(ctext)) AS n_distinct,
+           ROUND(SUM(ROUND(byte_sum / strlen(ctext) / 255.0, 6)), 4) AS sum_luma
+    FROM clipped JOIN bytes USING (doc_id)
+    GROUP BY modality ORDER BY modality
+    """,
+    tags=("multimodal", "resize", "mapInPandas"),
+    tables=("documents",),
+)
+def mm5_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stage: every asset truncated to 128 bytes (the
+    deterministic stand-in for re-encoding), features re-decoded from the
+    RESIZED bytes, summarized per modality — proving content replacement,
+    row preservation, and feature recomputation end to end."""
+    from ..operators.multimodal import resize_media
+
+    resized = resize_media(synthesize_media(spark.table("documents")), max_bytes=128)
+    return (
+        resized.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("content")).cast("bigint").alias("total_bytes"),
+            F.countDistinct(F.md5("content")).alias("n_distinct"),
+            F.round(F.sum("luma"), 4).alias("sum_luma"),
+        )
+        .orderBy("modality")
+    )
