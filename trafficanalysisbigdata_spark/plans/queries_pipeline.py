@@ -267,3 +267,77 @@ def pipe3_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_flagged",
         (F.col("n_docs") - F.col("n_flagged")).alias("n_survivors"),
     )
+
+
+# Per-language sampling rates: downsample the dominant language, keep the
+# rest — the mix-rebalancing step pipe2's share table feeds.
+_SAMPLE_RATES = {"en": 0.35, "de": 0.9, "es": 0.9, "fr": 0.9, "zh": 0.9}
+_HEX_MOD = float(16**8)  # md5 first-8-hex-digits domain
+
+
+def _hash_frac(col: Column) -> Column:
+    """Deterministic per-row uniform in [0,1): first 8 hex digits of
+    md5(string(col)) / 16^8 — the reproducible substitute for rand(seed)
+    (stable under retries, re-runs, AND engines; ``sample()``/``sampleBy()``
+    are partition-order-dependent and not oracle-checkable). Same derivation
+    as the LSH hyperplanes (operators/similarity.plane_component)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(_HEX_MOD)
+    )
+
+
+_RATES_SQL = "\n             ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()
+)
+
+
+@register(
+    "pipe4_hash_sample",
+    oracle=f"""
+    WITH frac AS (
+      SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / {_HEX_MOD} AS u,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), sampled AS (
+      SELECT lang, n_tokens FROM frac
+      WHERE u < CASE lang {_RATES_SQL} ELSE 1.0 END
+    )
+    SELECT f.lang,
+           COUNT(*) AS n_total,
+           (SELECT COUNT(*) FROM sampled s WHERE s.lang = f.lang) AS n_sampled,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM sampled s WHERE s.lang = f.lang)
+             AS sampled_tokens
+    FROM frac f GROUP BY f.lang ORDER BY f.lang
+    """,
+    tags=("pipeline", "sampling"),
+    tables=("documents",),
+)
+def pipe4_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-rebalancing corpus sample: per-language keep rates applied via
+    deterministic md5-hash thresholding (no rand(), no sampleBy) — identical
+    keep/drop decisions on every run, every retry, every engine, which is
+    what makes a 100 TB sampling step reproducible and auditable. One scan,
+    one groupBy; the per-row hash is pure Catalyst."""
+    docs = spark.table("documents")
+    rate = F.lit(1.0)
+    for k, v in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    flagged = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        (_hash_frac(F.col("doc_id")) < rate).alias("keep"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
