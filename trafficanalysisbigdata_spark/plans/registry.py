@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "queries_joins",
     "queries_windows",
     "queries_wide",
+    "queries_setops",
     "queries_text",
     "queries_olap",
     "queries_pipeline",
