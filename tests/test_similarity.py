@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from trafficanalysisbigdata_spark.io import register_views
 from trafficanalysisbigdata_spark.operators.similarity import (
     brute_force_topk,
+    centroid_semantic_dedup,
     ivf_topk,
     lsh_neardup_pairs,
     lsh_topk,
@@ -77,3 +78,19 @@ def test_lsh_buckets_deterministic(spark, sf_dir):
     b2 = {r.vec_id: r.buckets for r in multi_table_buckets(emb, 16, 4, 64).collect()}
     assert b1 == b2
     assert all(len(v) == 16 and all(0 <= b < 16 for b in v) for v in b1.values())
+
+
+def test_centroid_semantic_dedup_invariants(spark, sf_dir):
+    prep(spark)
+    register_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    n = emb.count()
+    rows = centroid_semantic_dedup(emb, n_centroids=8, threshold=0.30).collect()
+
+    assert len(rows) == 8  # every hash-picked centroid attracts some cell
+    assert sum(r.n_assigned for r in rows) == n  # partition covers the corpus
+    for r in rows:
+        assert r.n_survivors + r.n_dupes == r.n_assigned
+        assert 1 <= r.n_survivors <= r.n_assigned
+    # the fixtures contain loose near-dups at cos >= 0.30 — collapse must bite
+    assert sum(r.n_dupes for r in rows) > 0

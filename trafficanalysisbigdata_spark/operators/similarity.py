@@ -311,3 +311,90 @@ def threshold_pairs(
         .select("id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def centroid_semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style semantic dedup: a deterministic coarse quantizer partitions
+    the corpus; within each cell, a doc SURVIVES iff no smaller-id doc in the
+    cell is a near-dup (cosine >= threshold) — the greedy min-id retention
+    rule. Returns one row per centroid: (cid, n_assigned, n_survivors,
+    n_dupes).
+
+    Unlike ``ivf_topk``'s k-means quantizer, centroids here are chosen
+    deterministically — the ``n_centroids`` corpus vectors with the smallest
+    ``md5(id)`` (a uniform hash-sample, no stored model) — which makes the
+    whole pipeline, quantizer included, expressible in ANSI SQL for the
+    DuckDB oracle.
+
+    Scale shape (semantic dedup at 100 TB):
+
+    * centroid pick is a ``TakeOrderedAndProject`` (no full sort);
+    * assignment is a broadcast cross join (corpus × k tiny centroids)
+      reduced by a map-side-combinable ``max(struct(cos, -cid, vec))`` —
+      (cos, -cid) is unique per (row, centroid), so the vector rides the
+      struct without ever being compared;
+    * everything downstream (cell sizes, the pair self-join, dupe counts)
+      consumes ONE explicit ``repartition(cid)`` exchange, which Spark's
+      ReuseExchange/AQE stage reuse computes once;
+    * pair volume is Σ|cell|² instead of n² — the quantizer IS the blocking
+      key. Skewed cells would salt the join or cap cell size (same playbook
+      as dd4's shingle DF cap).
+    """
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(vec_col).alias("center"),
+        )
+        .orderBy("__h", "cid")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+    cells = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
+        .groupBy("vid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cos"),
+                    (-F.col("cid")).alias("__negcid"),
+                    F.col("vec").alias("__vec"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            "vid", (-F.col("__m.__negcid")).alias("cid"), F.col("__m.__vec").alias("vec")
+        )
+        .repartition("cid")
+    )
+    sizes = cells.groupBy("cid").agg(F.count("*").alias("n_assigned"))
+    a = cells.select("cid", F.col("vid").alias("id1"), F.col("vec").alias("v1"))
+    b = cells.select("cid", F.col("vid").alias("id2"), F.col("vec").alias("v2"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(F.round(cosine(F.col("v1"), F.col("v2")), 6) >= threshold)
+        .select("cid", "id2")
+    )
+    # a doc is a dupe iff it appears as the LARGER id of any near-dup pair
+    dupes = pairs.groupBy("cid").agg(F.countDistinct("id2").alias("__nd"))
+    return (
+        sizes.join(dupes, "cid", "left")
+        .select(
+            "cid",
+            "n_assigned",
+            (F.col("n_assigned") - F.coalesce(F.col("__nd"), F.lit(0))).alias(
+                "n_survivors"
+            ),
+            F.coalesce(F.col("__nd"), F.lit(0)).alias("n_dupes"),
+        )
+        .orderBy("cid")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     brute_force_topk,
+    centroid_semantic_dedup,
     ivf_topk,
     lsh_neardup_pairs,
     lsh_topk,
@@ -176,3 +177,47 @@ def sim5_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, probes, k=5, n_clusters=16, n_probe=6)
+
+
+@register(
+    "dd5_semantic_centroid_dedup",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS center
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+    cells AS (
+      SELECT vid, cid, vec FROM (
+        SELECT e.vec_id AS vid, c.cid, CAST(e.embedding AS DOUBLE[]) AS vec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), c.center), 6) DESC,
+                          c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.cid, b.vid AS id2
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vid < b.vid
+      WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.30),
+    dupes AS (SELECT cid, COUNT(DISTINCT id2) AS nd FROM pairs GROUP BY cid),
+    sizes AS (SELECT cid, COUNT(*) AS n_assigned FROM cells GROUP BY cid)
+    SELECT s.cid, s.n_assigned,
+           s.n_assigned - COALESCE(d.nd, 0) AS n_survivors,
+           COALESCE(d.nd, 0) AS n_dupes
+    FROM sizes s LEFT JOIN dupes d ON d.cid = s.cid
+    ORDER BY s.cid
+    """,
+    tags=("similarity", "dedup", "embedding", "ivf"),
+    tables=("embeddings",),
+)
+def dd5_semantic_centroid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine semantic dedup, IVF-blocked: a deterministic
+    hash-sampled coarse quantizer (8 centroids) partitions the corpus; a doc
+    survives iff no smaller-id doc in its cell is a near-dup (cos >= 0.30) —
+    greedy min-id retention. The quantizer doubles as the blocking key, so
+    pair volume is Σ|cell|², not n² — the cluster-structured sibling of
+    sim4's LSH banding. Fully SQL-expressible (unlike k-means IVF), so the
+    oracle checks quantizer, assignment, and collapse end to end."""
+    return centroid_semantic_dedup(
+        spark.table("embeddings"), n_centroids=8, threshold=0.30
+    )
