@@ -205,3 +205,66 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     for uid, want in expected.items():
         assert final[uid].n == want.n, uid
         assert final[uid].total == pytest.approx(want.total, rel=1e-9), uid
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark (AvailableNow) vs batch dropDuplicates.
+
+    Batch 1 is a fresh stream (watermark 0 — nothing late, nothing expired),
+    so its emitted key set must EQUAL the batch dedup key set. Batch 2 replays
+    rows whose keys are already in state with timestamps at the stream's max —
+    with the dedup horizon (delay) covering the fixture's full time span, all
+    state is live and every replay must be suppressed. (A 2h delay was probed
+    first: keys first seen > delay before the final watermark expire, and
+    replays re-emit — the documented bounded-state trade.)
+    """
+    from trafficanalysisbigdata_spark.streaming.dedup import streaming_dedup
+
+    prep(spark)
+    keys = ["user_id", "event_type"]
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .filter(F.col("user_id") < 50)
+    )
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    got: list = []
+
+    def sink(df, _bid):
+        got.extend((r.user_id, r.event_type) for r in df.collect())
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        q = (
+            streaming_dedup(stream, keys, delay="60 days")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    batch_keys = {
+        (r.user_id, r.event_type) for r in events.select(*keys).distinct().collect()
+    }
+    assert len(got) == len(batch_keys)  # exactly one survivor per key
+    assert set(got) == batch_keys
+
+    # replay: duplicate keys stamped at the stream's max ts — within the
+    # watermark horizon, so state is live and every replay is suppressed
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    replay = (
+        events.orderBy("event_id")
+        .limit(25)
+        .withColumn("ts", F.lit(max_ts).cast("timestamp"))
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    replay.coalesce(1).write.mode("append").parquet(src)
+    before = len(got)
+    run_once()
+    assert len(got) == before  # no re-emissions

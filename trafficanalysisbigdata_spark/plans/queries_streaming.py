@@ -81,3 +81,31 @@ def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return session_10m(spark.table("events").filter(F.col("user_id") < 20))
+
+
+@register(
+    "st4_first_event_per_key",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_keys,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_kept
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "ST4"),
+    tables=("events",),
+)
+def st4_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup-to-first-event per (user_id, event_type) — the
+    batch contract behind streaming_dedup's dropDuplicatesWithinWatermark
+    (streaming/dedup.py; online-vs-batch equivalence pinned in
+    tests/test_streaming.py). One map-side-combinable min(struct) shuffle —
+    no window sort over the full corpus."""
+    from ..streaming.dedup import first_event_per_key
+
+    return first_event_per_key(spark.table("events"))
