@@ -72,3 +72,22 @@ def test_sample_frames_ragged_tail(spark):
     )
     # image row filtered out; empty video emits no frames
     assert rows == [(1, 0, 32), (1, 1, 32), (1, 2, 3)]
+
+
+def test_audio_window_energy_math(spark):
+    """Window boundaries, energy sums, ragged tail, silence rule."""
+    from trafficanalysisbigdata_spark.operators.multimodal import audio_window_energy
+
+    # 30 'z' bytes (ord 122): window 0 = 25 full bytes -> 3050 (not silent at
+    # threshold 3000), window 1 = 5-byte tail -> 610 (silent); image filtered
+    media = spark.createDataFrame(
+        [(1, "audio", b"z" * 30), (2, "image", b"z" * 30)],
+        "media_id long, modality string, content binary",
+    )
+    rows = sorted(
+        (r.media_id, r.win, r.energy, r.is_silent)
+        for r in audio_window_energy(
+            media, window_bytes=25, silence_threshold=3000
+        ).collect()
+    )
+    assert rows == [(1, 0, 25 * 122, 0), (1, 1, 5 * 122, 1)]

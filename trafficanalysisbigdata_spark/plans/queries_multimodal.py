@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    audio_window_energy,
     extract_media_features,
     media_dedup_summary,
     media_stats_by_modality,
@@ -190,4 +191,40 @@ def mm5_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("luma"), 4).alias("sum_luma"),
         )
         .orderBy("modality")
+    )
+
+
+@register(
+    "mm6_audio_window_energy",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+    ), chars AS (
+      SELECT media_id, (i.i - 1) // 25 AS win, unicode(substr(text, i.i, 1)) AS b
+      FROM audio, (SELECT UNNEST(range(1, 700)) AS i) i
+      WHERE i.i <= strlen(text)
+    ), wins AS (
+      SELECT media_id, win, SUM(b) AS energy FROM chars GROUP BY media_id, win
+    )
+    SELECT COUNT(DISTINCT media_id) AS n_assets,
+           COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN energy < 2400 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM wins
+    """,
+    tags=("multimodal", "audio", "windowing"),
+    tables=("documents",),
+)
+def mm6_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sample-windowing inventory: 25-byte windows per audio asset,
+    per-window energy + silence flag (operators/multimodal.py
+    audio_window_energy — all Catalyst; the VAD shape with a deterministic
+    fake in place of PCM decode). The oracle re-windows relationally, so
+    window boundaries, ragged tails and the silence rule are hash-checked."""
+    wins = audio_window_energy(synthesize_media(spark.table("documents")))
+    return wins.agg(
+        F.countDistinct("media_id").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("is_silent").cast("bigint").alias("n_silent"),
+        F.sum("energy").cast("bigint").alias("total_energy"),
     )
