@@ -246,3 +246,46 @@ def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "j8_full_outer_daily_activity",
+    oracle="""
+    WITH od AS (
+      SELECT CAST(o_orderdate AS VARCHAR) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY d
+    ), sd AS (
+      SELECT CAST(l_shipdate AS VARCHAR) AS d, COUNT(*) AS n_ships
+      FROM lineitem GROUP BY d
+    )
+    SELECT COALESCE(od.d, sd.d) AS d,
+           COALESCE(od.n_orders, 0) AS n_orders,
+           COALESCE(sd.n_ships, 0) AS n_ships
+    FROM od FULL OUTER JOIN sd ON od.d = sd.d
+    ORDER BY d
+    """,
+    tags=("join", "full_outer"),
+    tables=("orders", "lineitem"),
+)
+def j8_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with coalesced keys: daily order placements vs daily
+    shipments. Ship dates trail order dates at the calendar edges, so both
+    null sides are genuinely exercised. Each input is pre-aggregated to one
+    row per day BEFORE the join — the full-outer shuffle moves day rows, not
+    fact rows."""
+    od = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").cast("string").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    sd = (
+        spark.table("lineitem")
+        .groupBy(F.col("l_shipdate").cast("string").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_ships"))
+    )
+    j = od.join(sd, "d", "full_outer")
+    return j.select(
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+    ).orderBy("d")

@@ -137,3 +137,42 @@ def w5_type_rank_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.withColumn("rnk", F.rank().over(w)).withColumn(
         "drnk", F.dense_rank().over(w)
     )
+
+
+@register(
+    "w6_daily_distribution_ranks",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events GROUP BY d
+    )
+    SELECT d, total,
+           NTILE(4)       OVER (ORDER BY total, d) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY total, d), 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER (ORDER BY total, d), 6) AS cume
+    FROM daily ORDER BY d
+    """,
+    tags=("window", "distribution"),
+    tables=("events",),
+)
+def w6_daily_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks (ntile/percent_rank/cume_dist) over the daily
+    series — the §2.5 ranking family beyond row_number/rank. Window order
+    carries the date tie-break so ranks are engine-independent; global window
+    is safe on the one-row-per-day aggregate, never on raw events."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(sum_exact("value", "total"))
+    )
+    w = Window.orderBy("total", "d")
+    return daily.select(
+        "d",
+        "total",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("d")
