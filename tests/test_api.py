@@ -1,0 +1,53 @@
+"""Facade smoke tests: the reference user's switch-over surface
+(api.TrafficAnalytics) over the shared ingest fixture."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from trafficanalysisbigdata_spark.api import TrafficAnalytics
+from tests.test_ingest import ROWS
+
+
+@pytest.fixture()
+def ta(spark, tmp_path):
+    p = tmp_path / "traffic.jsonl"
+    with open(p, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    return TrafficAnalytics.from_json(spark, str(p))
+
+
+def test_borough_totals_order_and_values(ta):
+    # surviving rows: Queens 120+33, Manhattan 200, Brooklyn 49, Queens(7) 55
+    rows = [(r.borough, float(r.total)) for r in ta.borough_totals().collect()]
+    assert rows == [("Queens", 208.0), ("Manhattan", 200.0), ("Brooklyn", 49.0)]
+
+
+def test_hourly_totals_covers_surviving_hours(ta):
+    got = {r.hour: float(r.total) for r in ta.hourly_totals().collect()}
+    assert got == {6: 33.0, 7: 55.0, 8: 120.0, 17: 49.0, 23: 200.0}
+
+
+def test_summary_and_outlier_paths_run(ta):
+    stats = ta.volume_summary().collect()
+    assert stats  # scalar-stat rows exist
+    flagged = ta.abnormal_days().collect()
+    assert all(r.is_abnormal in (0, 1) for r in flagged)
+    heavy = ta.heavy_hours().collect()
+    assert any(r.is_peak == 1 for r in heavy)
+
+
+def test_dashboard_query_set_matches_contract(ta):
+    dash = ta.dashboard()
+    assert set(dash) == {
+        "q1_selected_series",
+        "q2_top5",
+        "q3_latest_hourly",
+        "q4_type_totals",
+        "q6_points",
+    }
+    totals = {r.event_type: float(r.total) for r in dash["q4_type_totals"].collect()}
+    assert totals["Queens"] == 208.0
