@@ -1,0 +1,100 @@
+"""Physical-plan regression guards (the executable half of PLANS.md).
+
+Correctness tests can't catch a scale regression — a lost filter pushdown or
+a broadcast that degraded to shuffle produces identical rows, just 100× the
+I/O at 100 TB. These assertions pin the plan shapes the engine's design
+depends on, so a refactor that silently de-optimizes a query fails CI.
+
+Plans are inspected pre-execution (the AQE-wrapped initial plan): pushdown,
+scan schema and join strategy are all decided by then; only runtime
+re-planning (skew splits, broadcast demotion) comes later.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from trafficanalysisbigdata_spark.io import register_views
+from trafficanalysisbigdata_spark.plans.registry import queries
+from trafficanalysisbigdata_spark.session import prep
+
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    prep(spark)
+    register_views(spark, sf_dir, *ALL_TABLES)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        queries()[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_p6_filter_reaches_parquet_scan(spark, sf_dir):
+    """P6/S3: the equality predicate must be pushed into the scan."""
+    plan = _plan(spark, sf_dir, "p6_purchase_daily")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_p6_scan_schema_is_pruned(spark, sf_dir):
+    """Column pruning: a 2-measure aggregate must not read all 5 columns."""
+    plan = _plan(spark, sf_dir, "p6_purchase_daily")
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("event_id" not in ln for ln in scans)
+
+
+def test_j1_broadcasts_nation_dim(spark, sf_dir):
+    """J1: the bounded nation dim joins as BroadcastHashJoin on n_nationkey.
+    (Whether the fact-fact joins shuffle is size-based and SF-dependent —
+    at sf0.001 AQE broadcasts those too, which is the right call there.)"""
+    plan = _plan(spark, sf_dir, "j1_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan and "n_nationkey" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t2_uses_take_ordered(spark, sf_dir):
+    """T2: top-k compiles to TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, sf_dir, "t2_top10_parts_by_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_outside_allowlist(spark, sf_dir):
+    """Cross joins are reserved for broadcast-stat/probe/centroid patterns
+    (tiny build side); any other cartesian is a scale bug."""
+    cross_ok = {
+        # broadcast of a one-row stat or a k-row shortlist — by design
+        "a9_summary_stats", "p8_sigma_outliers", "p9_quantile_peaks",
+        "a13_histogram", "sim1_ann_topk_bruteforce", "sim5_ann_topk_ivf",
+        "dd5_semantic_centroid_dedup", "f19_minmax_normalize",
+        # the documented O(n²) correctness baseline
+        "sim2_embedding_neardup_pairs",
+    }
+    for name in ("a1_totals_by_event_type", "dd2_minhash_lsh", "j8_full_outer_daily_activity",
+                 "sim4_lsh_neardup_pairs", "w6_daily_distribution_ranks"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert name in cross_ok or "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_aggregates_are_partial_final(spark, sf_dir):
+    """A1: map-side partial aggregation before the exchange."""
+    plan = _plan(spark, sf_dir, "a1_totals_by_event_type")
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+
+
+def test_dd5_reuses_cell_index_exchange(spark, sf_dir):
+    """dd5's self-join + sizes + dupe counts must share one repartition(cid)
+    exchange at runtime (AQE stage reuse), not recompute the assignment."""
+    df = queries()["dd5_semantic_centroid_dedup"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedQueryStage" in plan or "ReusedExchange" in plan
