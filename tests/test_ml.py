@@ -23,7 +23,12 @@ from trafficanalysisbigdata_spark.session import prep
 @pytest.fixture(scope="module")
 def events(spark, sf_dir):
     prep(spark)
-    return load_table(spark, sf_dir, "events").cache()
+    df = load_table(spark, sf_dir, "events").cache()
+    yield df
+    # a leaked cache makes Spark substitute the InMemoryRelation into any
+    # later logically-equal scan, silently defeating pushdown (and the
+    # plan-shape assertions in test_plans.py)
+    df.unpersist()
 
 
 def _majority_share(df, label_col):

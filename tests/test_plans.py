@@ -26,6 +26,9 @@ ALL_TABLES = (
 @pytest.fixture(scope="module", autouse=True)
 def _views(spark, sf_dir):
     prep(spark)
+    # cached relations from other modules would replace scans with
+    # InMemoryRelation and void every shape assertion below
+    spark.catalog.clearCache()
     register_views(spark, sf_dir, *ALL_TABLES)
 
 
