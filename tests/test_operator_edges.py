@@ -101,3 +101,16 @@ def test_salted_join_left_outer_and_determinism(spark):
     assert rows == [(1, "a", "X"), (1, "b", "X"), (2, "c", "Y"), (99, "orphan", None)]
     again = sorted((r.k, r.v, r.w) for r in salted_join(left, right, "k", 4, "left").collect())
     assert again == rows
+
+
+def test_token_ngrams_short_doc_guard(spark):
+    """<n-token docs yield NO shingles (sequence would step downward)."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.functions.text import token_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b c d",), ("a",), ("",)], "text string"
+    )
+    got = [r.g for r in df.select(token_ngrams(F.col("text"), 5).alias("g")).collect()]
+    assert got == [["a b c d e"], [], [], []]

@@ -102,3 +102,17 @@ def token_bigrams(text: Column) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)))
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Adjacent n-token shingles (space-joined), same <n-token guard as
+    ``token_bigrams``. Longer shingles = rarer collisions: decontamination
+    (plans/queries_pipeline.py pipe5) uses n=5 so only genuinely duplicated
+    passages — not a shared vocabulary — count as overlap."""
+    toks = tokens(text)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )

@@ -341,3 +341,79 @@ def pipe4_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipe5_decontaminate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / {_HEX_MOD} < 0.75 AS is_train,
+             string_split(text, ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, is_train,
+             array_to_string(list_slice(t, i.i + 1, i.i + 5), ' ') AS shingle
+      FROM base, (SELECT UNNEST(range(0, 700)) AS i) i
+      WHERE i.i + 5 <= len(t)
+    ), train_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE is_train
+    ), contam AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN train_sh t ON s.shingle = t.shingle
+      WHERE NOT s.is_train
+    )
+    SELECT b.source, COUNT(*) AS n_eval,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM base b LEFT JOIN contam c ON c.doc_id = b.doc_id
+    WHERE NOT b.is_train
+    GROUP BY b.source ORDER BY b.source
+    """,
+    tags=("pipeline", "decontamination"),
+    tables=("documents",),
+)
+def pipe5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the step a training pipeline runs before
+    any benchmark eval is trustworthy. Deterministic 75/25 md5-threshold
+    split (pipe4's idiom), then an eval doc is contaminated iff it shares any
+    5-token shingle with the train split. Long shingles mean a shared
+    VOCABULARY doesn't trigger — only duplicated passages do.
+
+    Scale shape: shingle postings are (doc_id, shingle) distinct pairs; the
+    overlap test is a LEFT SEMI join on the shingle key — train shingles
+    never fan out per eval doc, and no doc pair is ever materialized. A hot
+    boilerplate shingle skews one reducer; AQE skew-split covers it (semi
+    joins can't blow up output rows)."""
+    from ..functions.text import token_ngrams
+
+    docs = spark.table("documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        (_hash_frac(F.col("doc_id")) < 0.75).alias("is_train"),
+        F.array_distinct(token_ngrams(F.col("text"), 5)).alias("sh"),
+    )
+    pairs = base.select(
+        "doc_id", "is_train", F.explode("sh").alias("shingle")
+    )
+    train_sh = pairs.filter("is_train").select("shingle").distinct()
+    contam = (
+        pairs.filter(~F.col("is_train"))
+        .join(train_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    return (
+        base.filter(~F.col("is_train"))
+        .select("doc_id", "source")
+        .join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.coalesce("__c", F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )

@@ -302,3 +302,82 @@ def tx7_token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "tx9_boilerplate_share",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT d.doc_id, d.source,
+             array_to_string(list_slice(t.t, i.i + 1, i.i + 2), ' ') AS shingle
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) t
+      JOIN documents d USING (doc_id),
+           (SELECT UNNEST(range(0, 700)) AS i) i
+      WHERE i.i + 2 <= len(t.t)
+    ), df AS (
+      SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs FROM pairs GROUP BY shingle
+    ), n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+    scored AS (
+      SELECT p.doc_id, p.source,
+             COUNT(*) AS n_sh,
+             SUM(CASE WHEN df.n_docs > 0.05 * n.n_corpus THEN 1 ELSE 0 END) AS n_bp
+      FROM pairs p JOIN df USING (shingle) CROSS JOIN n
+      GROUP BY p.doc_id, p.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_scored,
+           ROUND(AVG(CAST(n_bp AS DOUBLE) / n_sh), 6) AS avg_bp_share,
+           CAST(SUM(CASE WHEN n_bp > 0.5 * n_sh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    tags=("text", "boilerplate", "dedup"),
+    tables=("documents",),
+)
+def tx9_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scoring (the C4/RefinedWeb line-dedup idea at shingle
+    granularity): a bigram is boilerplate when >5% of the corpus contains it;
+    each doc's share of boilerplate shingles is averaged per source and docs
+    >50% boilerplate are flagged for removal.
+
+    Scale shape: document frequency is one groupBy over distinct (doc, 
+    shingle) postings; the corpus size is a broadcast one-row aggregate; the
+    re-join postings⋈df rides the same shingle key as the DF groupBy (AQE
+    reuses the exchange). No pair joins anywhere — cost is linear in total
+    postings."""
+    from ..functions.text import token_bigrams
+
+    docs = spark.table("documents")
+    pairs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(token_bigrams(F.col("text")))).alias("shingle"),
+    )
+    df_counts = pairs.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    n_corpus = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    scored = (
+        pairs.join(df_counts, "shingle")
+        .crossJoin(F.broadcast(n_corpus))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                (F.col("n_docs") > 0.05 * F.col("n_corpus")).cast("int")
+            ).alias("n_bp"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.round(F.avg(F.col("n_bp").cast("double") / F.col("n_sh")), 6).alias(
+                "avg_bp_share"
+            ),
+            F.sum((F.col("n_bp") > 0.5 * F.col("n_sh")).cast("int"))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
