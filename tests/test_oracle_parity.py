@@ -37,3 +37,17 @@ def test_rows_only_queries_run(spark, sf_dir):
         df = spec.run(spark, sf_dir)
         assert df.columns, f"{name} returned no columns"
         assert df.count() >= 0
+
+
+def test_a14_hll_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.01 must land within 2% of the exact distinct count."""
+    from trafficanalysisbigdata_spark.io import register_views
+    from trafficanalysisbigdata_spark.plans.registry import queries
+    from trafficanalysisbigdata_spark.session import prep
+
+    prep(spark)
+    register_views(spark, sf_dir, "events")
+    rows = queries()["a14_approx_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.n_approx - r.n_exact) <= max(1, 0.02 * r.n_exact), r

@@ -345,3 +345,30 @@ def p9_peak_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), sum_exact("value", "total"))
         .orderBy("is_peak")
     )
+
+
+@register(
+    "a14_approx_distinct_users",
+    oracle=None,  # HLL++ estimates are engine-specific; the relative-error
+    # bound vs the exact count is asserted in tests/test_oracle_parity.py
+    tags=("agg", "approx", "sketch"),
+    tables=("events",),
+)
+def a14_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, exact AND HLL++-sketched side by side.
+
+    At 100 TB the exact path is the problem: countDistinct shuffles every
+    distinct (type, user) pair before counting, while approx_count_distinct
+    merges fixed-size HLL sketches map-side — constant memory per group, one
+    skinny exchange, mergeable across partitions/days (the same sketch can
+    roll up hourly→daily→monthly without rescanning). rsd=0.01 ⇒ ~1% typical
+    error; the co-emitted exact count makes the trade auditable."""
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"),
+        )
+        .orderBy("event_type")
+    )
