@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "sim1_ann_topk_bruteforce",
     "sim3_ann_topk_lsh",
     "sim4_lsh_neardup_pairs",
+    "dd5_semantic_centroid_dedup",
+    "st4_first_event_per_key",
+    "mm6_audio_window_energy",
+    "pipe5_decontaminate",
+    "tx9_boilerplate_share",
 ]
 
 
