@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.vectors import cosine
+from ..functions.vectors import as_double, cosine, cosine_prenorm, norm
 
 
 def plane_component(table: int, plane: int, dim_i: int) -> float:
@@ -129,16 +129,25 @@ def brute_force_topk(
     set is stable under float reassociation across engines/partitionings.
     """
     p = probes.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(as_double(F.col(vec_col))).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(as_double(F.col(vec_col))).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cos"),
+            F.round(
+                cosine_prenorm(F.col("query_vec"), F.col("vec"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -171,19 +180,30 @@ def lsh_topk(
     )
     scored = (
         cand.join(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("vec"),
+                norm(as_double(F.col(vec_col))).alias("cn"),
+            ),
             "neighbor_id",
         )
         .join(
             F.broadcast(
-                probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+                probes.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("query_vec"),
+                    norm(as_double(F.col(vec_col))).alias("qn"),
+                )
             ),
             "query_id",
         )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cos"),
+            F.round(
+                cosine_prenorm(F.col("query_vec"), F.col("vec"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -214,11 +234,23 @@ def lsh_neardup_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    v = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    # norms ride the vector attach (one fold per ROW); pair scoring is then
+    # a single dot fold per candidate — see functions.vectors.cosine_prenorm
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("n"),
+    )
     return (
-        cand.join(v.withColumnsRenamed({"vid": "id1", "v": "v1"}), "id1")
-        .join(v.withColumnsRenamed({"vid": "id2", "v": "v2"}), "id2")
-        .select("id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
+        cand.join(v.withColumnsRenamed({"vid": "id1", "v": "v1", "n": "n1"}), "id1")
+        .join(v.withColumnsRenamed({"vid": "id2", "v": "v2", "n": "n2"}), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                cosine_prenorm(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -258,13 +290,18 @@ def ivf_topk(
     assigned = model.transform(corpus_v).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
+        norm(as_double(F.col(vec_col))).alias("cn"),
         F.col("__cluster").alias("cl"),
     )
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cl int, center array<double>",
     )
-    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(as_double(F.col(vec_col))).alias("qn"),
+    )
     sq_dist = F.aggregate(
         F.zip_with(
             F.transform("query_vec", lambda x: x.cast("double")),
@@ -280,7 +317,7 @@ def ivf_topk(
         .withColumn("d", sq_dist)
         .withColumn("rn", F.row_number().over(wshort))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "query_vec", "cl")
+        .select("query_id", "query_vec", "qn", "cl")
     )
     scored = (
         shortlist.join(assigned, "cl")
@@ -288,7 +325,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cos"),
+            F.round(
+                cosine_prenorm(F.col("query_vec"), F.col("vec"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -371,17 +411,29 @@ def centroid_semantic_dedup(
             ).alias("__m")
         )
         .select(
-            "vid", (-F.col("__m.__negcid")).alias("cid"), F.col("__m.__vec").alias("vec")
+            "vid",
+            (-F.col("__m.__negcid")).alias("cid"),
+            F.col("__m.__vec").alias("vec"),
+            norm(as_double(F.col("__m.__vec"))).alias("nrm"),
         )
         .repartition("cid")
     )
     sizes = cells.groupBy("cid").agg(F.count("*").alias("n_assigned"))
-    a = cells.select("cid", F.col("vid").alias("id1"), F.col("vec").alias("v1"))
-    b = cells.select("cid", F.col("vid").alias("id2"), F.col("vec").alias("v2"))
+    a = cells.select(
+        "cid", F.col("vid").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1")
+    )
+    b = cells.select(
+        "cid", F.col("vid").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2")
+    )
     pairs = (
         a.join(b, "cid")
         .filter(F.col("id1") < F.col("id2"))
-        .filter(F.round(cosine(F.col("v1"), F.col("v2")), 6) >= threshold)
+        .filter(
+            F.round(
+                cosine_prenorm(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6
+            )
+            >= threshold
+        )
         .select("cid", "id2")
     )
     # a doc is a dupe iff it appears as the LARGER id of any near-dup pair
