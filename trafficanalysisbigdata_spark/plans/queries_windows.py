@@ -176,3 +176,54 @@ def w6_daily_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("d")
+
+
+@register(
+    "w7_range_frame_weekly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+             SUM(CAST(value AS DECIMAL(18,6))) AS total_dec
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d, CAST(total_dec AS DOUBLE) AS total,
+           CAST(SUM(total_dec) OVER w AS DOUBLE) AS sum7d,
+           COUNT(*) OVER w AS n7d
+    FROM daily
+    WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY d
+    """,
+    tags=("window", "range_frame"),
+    tables=("events",),
+)
+def w7_range_frame_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-calendar-DAY window via a RANGE frame keyed on days since
+    epoch — unlike w3's ROWS frame, calendar gaps shrink the window instead
+    of silently reaching further back, which is the semantics a time-series
+    SLA metric needs. Decimal accumulation inside the frame keeps the sums
+    engine-exact; the global window is safe on the one-row-per-day series."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import dec
+
+    daily = (
+        spark.table("events")
+        .groupBy(
+            F.to_date("ts").cast("string").alias("d"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "day_num"
+            ),
+        )
+        .agg(F.sum(dec("value")).alias("total_dec"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "d",
+            F.col("total_dec").cast("double").alias("total"),
+            F.sum("total_dec").over(w).cast("double").alias("sum7d"),
+            F.count(F.lit(1)).over(w).alias("n7d"),
+        )
+        .orderBy("d")
+    )
