@@ -111,3 +111,67 @@ def s7_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+_CSV_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "s8_csv_roundtrip",
+    oracle=_CSV_ORACLE,
+    tags=("scan", "sink", "csv"),
+    tables=("events",),
+)
+def s8_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange: write events to headered CSV, read back with an
+    EXPLICIT schema (inference costs an extra full scan and guesses types —
+    never at 100 TB), aggregate. `value` travels as its full repr so the
+    float round-trips bit-exactly; the oracle aggregates the original
+    parquet, so text serialization must lose nothing."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(
+        tempfile.gettempdir(), f"s8_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("event_id bigint, event_type string, value double").option(
+        "header", True
+    ).csv(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "s9_orc_roundtrip",
+    oracle=_CSV_ORACLE,
+    tags=("scan", "sink", "orc"),
+    tables=("events",),
+)
+def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange (the other columnar lake format Spark ships a
+    vectorized reader for): write, read back, aggregate — same oracle as s8,
+    so both containers must preserve rows and values exactly."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(
+        tempfile.gettempdir(), f"s9_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
