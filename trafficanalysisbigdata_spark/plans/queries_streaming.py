@@ -109,3 +109,47 @@ def st4_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dedup import first_event_per_key
 
     return first_event_per_key(spark.table("events"))
+
+
+@register(
+    "st5_purchase_view_attribution",
+    oracle="""
+    SELECT p.user_id,
+           COUNT(*) AS n_attributed,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL '30 minutes'
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+    tags=("streaming", "join", "interval"),
+    tables=("events",),
+)
+def st5_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch contract of the stream-stream attribution join
+    (streaming/joins.py): purchases matched to the same user's views within
+    30 minutes after. The streaming form (watermarks + the same interval
+    bound ⇒ bounded state) is pinned to this output in
+    tests/test_streaming.py. The join itself is an equi-key on user_id with
+    the time bound as a post-filter — never a cross join."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import purchase_view_attribution
+
+    ev = spark.table("events")
+    joined = purchase_view_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        streaming=False,
+    )
+    from ..functions.numeric import sum_exact
+
+    return (
+        joined.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            sum_exact("p_value", "attributed_value"),
+        )
+        .orderBy("user_id")
+    )
