@@ -228,3 +228,57 @@ def mm6_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_silent").cast("bigint").alias("n_silent"),
         F.sum("energy").cast("bigint").alias("total_energy"),
     )
+
+
+@register(
+    "mm7_stratified_media_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id AS media_id,
+             {_MODALITY_SQL} AS modality,
+             strlen(text) AS n_bytes,
+             ROW_NUMBER() OVER (
+               PARTITION BY {_MODALITY_SQL}
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT modality,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_bytes) AS BIGINT) AS kept_bytes,
+           CAST(SUM(media_id) AS BIGINT) AS kept_id_sum
+    FROM ranked WHERE rn <= 50
+    GROUP BY modality ORDER BY modality
+    """,
+    tags=("multimodal", "sampling"),
+    tables=("documents",),
+)
+def mm7_stratified_media_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-balanced training mix: EXACTLY 50 assets per modality, chosen
+    by smallest md5(id) — a deterministic uniform draw with a hard per-group
+    quota (pipe4's hash-threshold gives a RATE, not a count). Per-group
+    row_number is the exact-quota semantics; at 100 TB with 3 giant modality
+    groups the same result comes from a two-phase top-n (per-partition
+    TakeOrdered then global merge) — noted here because 3 keys ⇒ 3 reducers
+    if done naively."""
+    from pyspark.sql import Window
+
+    media = synthesize_media(spark.table("documents"))
+    w = Window.partitionBy("modality").orderBy(
+        F.md5(F.col("media_id").cast("string")), "media_id"
+    )
+    return (
+        media.select(
+            "media_id",
+            "modality",
+            F.octet_length("content").alias("n_bytes"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 50)
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_bytes").cast("bigint").alias("kept_bytes"),
+            F.sum("media_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("modality")
+    )

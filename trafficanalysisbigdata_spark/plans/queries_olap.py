@@ -134,3 +134,48 @@ def olap4_approx_vs_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("user_id").alias("exact_users"),
         F.countDistinct("event_type").alias("exact_types"),
     )
+
+
+@register(
+    "olap5_share_of_total",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             SUM(CAST(value AS DECIMAL(18,6))) AS total_dec
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(total_dec AS DOUBLE) AS total,
+           ROUND(CAST(total_dec AS DOUBLE)
+                 / CAST(SUM(total_dec) OVER () AS DOUBLE), 6) AS share
+    FROM g ORDER BY event_type
+    """,
+    tags=("olap", "share"),
+    tables=("events",),
+)
+def olap5_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (the BI staple): per-type totals over the grand
+    total. The grand total is a one-row broadcast rejoined over the grouped
+    result — NOT an unpartitioned window over the fact rows, which would
+    funnel the whole table through one reducer at scale. Decimal-exact sums
+    on both levels keep the ratio engine-identical."""
+    from ..functions.numeric import dec
+
+    g = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.sum(dec("value")).alias("total_dec"))
+    )
+    grand = g.agg(F.sum("total_dec").alias("grand_dec"))
+    return (
+        g.crossJoin(F.broadcast(grand))
+        .select(
+            "event_type",
+            F.col("total_dec").cast("double").alias("total"),
+            F.round(
+                F.col("total_dec").cast("double") / F.col("grand_dec").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("event_type")
+    )
