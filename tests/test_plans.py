@@ -101,3 +101,15 @@ def test_dd5_reuses_cell_index_exchange(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedQueryStage" in plan or "ReusedExchange" in plan
+
+
+def test_sql1_pushes_date_filter(spark, sf_dir):
+    """The shared-dialect SQL path gets the same pushdown as DataFrame code."""
+    plan = _plan(spark, sf_dir, "sql1_pricing_summary")
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+
+
+def test_sql2_exists_becomes_semi_join(spark, sf_dir):
+    """Correlated EXISTS must rewrite to a semi join, not a full join+dedup."""
+    plan = _plan(spark, sf_dir, "sql2_exists_big_spenders")
+    assert "LeftSemi" in plan

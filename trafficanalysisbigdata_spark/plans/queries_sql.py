@@ -1,0 +1,57 @@
+"""Shared-dialect SQL queries: ONE ANSI string is both the Spark plan
+(``spark.sql``) and the DuckDB oracle — no translation layer, so the check
+is that two independent engines agree on the same text. This is the
+``spark.sql`` half of the engine surface (SURVEY §3.4); everything else in
+``plans/`` exercises the DataFrame half.
+
+Dialect discipline that makes single-sourcing work: decimal casts BEFORE
+arithmetic, DATE literals, no engine-specific functions — and keep decimal
+products well under precision 38: a (18,6)×(19,6) product hits DuckDB's cap
+and silently degrades its SUM to order-dependent double accumulation
+(observed as a 1e-9 tail diverging from Spark's exact decimal sum), while
+(12,2)×(5,2) stays decimal end to end in both engines.
+"""
+
+from __future__ import annotations
+
+from .registry import register_sql
+
+register_sql(
+    "sql1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "agg", "tpch"),
+    tables=("lineitem",),
+    doc="TPC-H Q1 shape via spark.sql — the identical text is the oracle. "
+    "Catalyst plans it as scan(pushdown on l_shipdate) → partial/final "
+    "hash aggregate; decimal-first arithmetic keeps both engines exact.",
+)
+
+register_sql(
+    "sql2_exists_big_spenders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("sql", "subquery", "semi"),
+    tables=("customer", "orders"),
+    doc="Correlated EXISTS via spark.sql — Catalyst rewrites it to a left "
+    "semi join (only join keys shuffle), the J3 shape expressed as SQL.",
+)

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "queries_windows",
     "queries_wide",
     "queries_setops",
+    "queries_sql",
     "queries_text",
     "queries_olap",
     "queries_pipeline",
