@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "mm6_audio_window_energy",
     "pipe5_decontaminate",
     "tx9_boilerplate_share",
+    "st5_purchase_view_attribution",
 ]
 
 
