@@ -382,9 +382,13 @@ def centroid_semantic_dedup(
     * everything downstream (cell sizes, the pair self-join, dupe counts)
       consumes ONE explicit ``repartition(cid)`` exchange, which Spark's
       ReuseExchange/AQE stage reuse computes once;
-    * pair volume is Σ|cell|² instead of n² — the quantizer IS the blocking
-      key. Skewed cells would salt the join or cap cell size (same playbook
-      as dd4's shingle DF cap).
+    * pair volume is Σ|cell|² — with FIXED k that is still n²/k, so at scale
+      ``n_centroids`` must grow with the corpus (k ≈ n / target_cell_size
+      keeps pair volume ≈ n · cell_size, i.e. LINEAR at constant cell size;
+      the centroid set stays broadcastable up to ~10⁵ centroids, and beyond
+      that the assignment becomes a two-level quantizer). Residual skewed
+      cells get salted or size-capped (dd4's playbook). The fixtures use
+      k=8 so the DuckDB oracle stays cheap; the knob is the scale dial.
     """
     cent = (
         corpus.select(

@@ -214,8 +214,9 @@ def dd5_semantic_centroid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine semantic dedup, IVF-blocked: a deterministic
     hash-sampled coarse quantizer (8 centroids) partitions the corpus; a doc
     survives iff no smaller-id doc in its cell is a near-dup (cos >= 0.30) —
-    greedy min-id retention. The quantizer doubles as the blocking key, so
-    pair volume is Σ|cell|², not n² — the cluster-structured sibling of
+    greedy min-id retention. The quantizer doubles as the blocking key; with
+    n_centroids scaled to hold cell size constant (k ≈ n/cell_size), pair
+    volume stays LINEAR in the corpus — the cluster-structured sibling of
     sim4's LSH banding. Fully SQL-expressible (unlike k-means IVF), so the
     oracle checks quantizer, assignment, and collapse end to end."""
     return centroid_semantic_dedup(
