@@ -196,3 +196,43 @@ def test_hour_label_of_day_covers_24(spark):
     df = spark.createDataFrame([(c,) for c in WIDE_HOUR_COLS], "label string")
     got = {r.label: r.h for r in df.select("label", hour_label_of_day(F.col("label")).alias("h")).collect()}
     assert got == {c: i for i, c in enumerate(WIDE_HOUR_COLS)}
+
+
+def test_paginated_datasource_matches_json_read(spark, tmp_path):
+    """The custom paginated_json DataSource (one partition per page) must
+    yield exactly spark.read.json's rows, and actually plan one task per
+    page."""
+    from trafficanalysisbigdata_spark.sources.paginated import (
+        PaginatedJsonDataSource,
+    )
+    from trafficanalysisbigdata_spark.sources.traffic import RAW_SCHEMA
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    # 3 pages of sizes 3/3/1 — the reference's limit/offset walk
+    for i in range(0, len(ROWS), 3):
+        with open(pages / f"page-{i // 3:05d}.json", "w") as f:
+            for r in ROWS[i : i + 3]:
+                f.write(json.dumps(r) + "\n")
+
+    spark.dataSource.register(PaginatedJsonDataSource)
+    via_source = spark.read.format("paginated_json").load(str(pages))
+    assert via_source.rdd.getNumPartitions() == 3  # one task per page
+
+    jsonl = tmp_path / "all.jsonl"
+    with open(jsonl, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    via_json = spark.read.schema(RAW_SCHEMA).json(str(jsonl))
+
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, via_source.collect())) == sorted(
+        map(key, via_json.collect())
+    )
+
+    # and the normalize chain composes on top unchanged
+    from trafficanalysisbigdata_spark.sources.traffic import normalize_traffic
+
+    n1 = normalize_traffic(via_source).count()
+    n2 = normalize_traffic(via_json).count()
+    assert n1 == n2 > 0

@@ -59,6 +59,17 @@ class TrafficAnalytics:
         return cls(normalize_traffic(read_traffic_json(spark, path)))
 
     @classmethod
+    def from_paginated(cls, spark: SparkSession, pages_dir: str) -> "TrafficAnalytics":
+        """Paginated-API ingest (S1) via the custom DataSource — one Spark
+        task per page, normalized through the same pipeline as from_json."""
+        from .sources.paginated import PaginatedJsonDataSource
+
+        prep(spark)
+        spark.dataSource.register(PaginatedJsonDataSource)  # idempotent
+        raw = spark.read.format("paginated_json").load(pages_dir)
+        return cls(normalize_traffic(raw))
+
+    @classmethod
     def from_normalized(cls, df: DataFrame) -> "TrafficAnalytics":
         """Adopt an already-normalized frame (e.g. a curated parquet lake)."""
         return cls(df)
