@@ -122,3 +122,19 @@ def test_confusion_counts_cover_test_split(events):
     # row exactly once
     total = events.count()
     assert 0.1 * total < n_conf < 0.3 * total
+
+
+def test_m8_quality_filter(spark, sf_dir):
+    """The learned filter must recover the heuristic on held-out docs far
+    better than chance, and keep a sane fraction of the corpus."""
+    from trafficanalysisbigdata_spark.io import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir, "documents")
+    r = models.quality_filter_model(spark.table("documents"))
+    assert r["n_test"] > 0
+    # the three features literally determine the label, so the linear model
+    # should separate it almost perfectly; 0.9 leaves margin for the
+    # band edges (label is a box, LR is a plane)
+    assert r["accuracy"] >= 0.9, r["accuracy"]
+    assert 0.0 < r["keep_rate"] <= 1.0

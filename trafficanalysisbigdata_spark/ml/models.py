@@ -182,3 +182,76 @@ def gbt_regression(events: DataFrame) -> dict:
         labelCol="total", predictionCol="prediction", metricName="mse"
     ).evaluate(pred)
     return {"model": model, "mse": mse, "n_test": pred.count()}
+
+
+def quality_filter_model(docs: DataFrame) -> dict:
+    """Model-based corpus quality filtering (M-extension): train a logistic
+    classifier on cheap heuristic labels, use its score as the keep/drop
+    signal — the fastText-style quality pass of an LLM data pipeline (the
+    heuristic bootstraps the label; the model generalizes it to documents
+    the heuristic is unsure about, and its probability is a tunable dial
+    where the heuristic is binary).
+
+    Features are the engine's Catalyst text signals (token count, stopword
+    ratio, lexical diversity); the label marks clearly-good docs (enough
+    tokens AND stopword share in the natural-prose band). Deterministic
+    split via md5-hash, seeded fit. Returns accuracy/f1/confusion vs the
+    heuristic on the held-out split plus the keep rate at p >= 0.5.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..functions.text import (
+        EN_STOP,
+        lexical_diversity,
+        stopword_ratio,
+        token_count,
+    )
+
+    feats = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("double").alias("n_tokens"),
+        F.coalesce(stopword_ratio(F.col("text"), EN_STOP), F.lit(0.0)).alias(
+            "stop_ratio"
+        ),
+        F.coalesce(lexical_diversity(F.col("text")), F.lit(0.0)).alias("diversity"),
+    ).withColumn(
+        "label",
+        (
+            (F.col("n_tokens") >= 50)
+            & (F.col("stop_ratio") >= 0.05)
+            & (F.col("stop_ratio") <= 0.6)
+        ).cast("double"),
+    )
+    is_train = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+    feats = feats.withColumn("__u", is_train.cast("long"))
+    train = feats.filter(F.col("__u") < 192)  # 75%
+    test = feats.filter(F.col("__u") >= 192)
+
+    assembler = VectorAssembler(
+        inputCols=["n_tokens", "stop_ratio", "diversity"], outputCol="features"
+    )
+    lr = LogisticRegression(labelCol="label", featuresCol="features", maxIter=20)
+    model = lr.fit(assembler.transform(train))
+    pred = model.transform(assembler.transform(test))
+
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(pred)
+    f1 = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="f1"
+    ).evaluate(pred)
+    keep = pred.agg(
+        F.avg((F.col("prediction") >= 0.5).cast("double")).alias("keep_rate")
+    ).collect()[0].keep_rate
+    confusion = pred.groupBy("label", "prediction").count().orderBy("label", "prediction")
+    return {
+        "model": model,
+        "accuracy": acc,
+        "f1": f1,
+        "keep_rate": keep,
+        "confusion": confusion,
+        "n_test": pred.count(),
+    }

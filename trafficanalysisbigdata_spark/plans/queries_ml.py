@@ -106,3 +106,28 @@ def ml6_gbt_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(float(r["mse"]), int(r["n_test"]))], "mse double, n_test long"
     )
+
+
+@register(
+    "ml8_quality_filter",
+    oracle=None,  # LR coefficients are engine-specific; agreement with the
+    # heuristic label and the keep rate are asserted in tests/test_ml.py
+    tags=("ml", "pipeline", "quality"),
+    tables=("documents",),
+)
+def ml8_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus quality filter (the fastText-classifier pass of an
+    LLM data pipeline): logistic regression trained on heuristic labels from
+    the engine's Catalyst text signals; one metrics row."""
+    r = models.quality_filter_model(spark.table("documents"))
+    return spark.createDataFrame(
+        [
+            (
+                float(r["accuracy"]),
+                float(r["f1"]),
+                float(r["keep_rate"]),
+                int(r["n_test"]),
+            )
+        ],
+        "accuracy double, f1 double, keep_rate double, n_test long",
+    )
