@@ -27,7 +27,13 @@ import os
 from collections.abc import Iterator
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from .traffic import RAW_COLUMNS, RAW_SCHEMA
@@ -42,6 +48,19 @@ class PaginatedJsonReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.columns = schema.fieldNames()
         self.dir = options["path"]
+        self.pushed: dict[str, str] = {}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """S3 — server-side filtering: accept top-level equality filters
+        (what the reference's API encodes as query params, QuickFetch-style
+        ``?borough=Queens``) and apply them during the page read, so filtered
+        rows never enter Spark. Everything else is returned for Spark to
+        evaluate above the scan — partial pushdown is the contract."""
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self.pushed[f.attribute[0]] = str(f.value)
+            else:
+                yield f
 
     def partitions(self) -> list[PagePartition]:
         """One partition per page — the parallel unit is the page fetch."""
@@ -58,6 +77,11 @@ class PaginatedJsonReader(DataSourceReader):
                 if not line.strip():
                     continue
                 rec = json.loads(line)
+                if any(
+                    rec.get(k) is None or str(rec[k]) != v
+                    for k, v in self.pushed.items()
+                ):
+                    continue
                 yield tuple(
                     None if rec.get(c) is None else str(rec[c]) for c in self.columns
                 )
@@ -78,4 +102,4 @@ class PaginatedJsonDataSource(DataSource):
         return PaginatedJsonReader(schema, self.options)
 
 
-__all__ = ["PaginatedJsonDataSource", "RAW_COLUMNS"]
+__all__ = ["PaginatedJsonDataSource", "PaginatedJsonReader", "RAW_COLUMNS", "RAW_SCHEMA"]
