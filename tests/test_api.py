@@ -51,3 +51,23 @@ def test_dashboard_query_set_matches_contract(ta):
     }
     totals = {r.event_type: float(r.total) for r in dash["q4_type_totals"].collect()}
     assert totals["Queens"] == 208.0
+
+
+def test_from_paginated_equals_from_json(spark, tmp_path):
+    """Both ingest constructors normalize to identical analysis results."""
+    pages = tmp_path / "api_pages"
+    pages.mkdir()
+    for i in range(0, len(ROWS), 2):
+        with open(pages / f"page-{i // 2:05d}.json", "w") as f:
+            for r in ROWS[i : i + 2]:
+                f.write(json.dumps(r) + "\n")
+    jsonl = tmp_path / "api_all.jsonl"
+    with open(jsonl, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+
+    via_pages = TrafficAnalytics.from_paginated(spark, str(pages))
+    via_json = TrafficAnalytics.from_json(spark, str(jsonl))
+    a = [(r.borough, float(r.total)) for r in via_pages.borough_totals().collect()]
+    b = [(r.borough, float(r.total)) for r in via_json.borough_totals().collect()]
+    assert a == b and a

@@ -175,3 +175,52 @@ def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s10_schema_evolution",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_user,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scan", "sink", "schema_evolution"),
+    tables=("events",),
+)
+def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution in a parquet lake: generation 1 files lack the
+    user_id column, generation 2 adds it; a mergeSchema read unifies them
+    with NULLs for the missing column. The oracle knows exactly which rows
+    came from which generation (even/odd ids), so the merge must preserve
+    every row, value, and the NULL pattern. At scale, mergeSchema reads
+    every file footer at planning time — production pins the unified schema
+    in a metastore instead; the read semantics are identical."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), f"s10_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    gen1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value", "user_id"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("user_id").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_with_user"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
