@@ -114,3 +114,23 @@ def test_token_ngrams_short_doc_guard(spark):
     )
     got = [r.g for r in df.select(token_ngrams(F.col("text"), 5).alias("g")).collect()]
     assert got == [["a b c d e"], [], [], []]
+
+
+def test_compaction_collapses_file_count(spark, sf_dir, tmp_path):
+    """s11's layout claim, checked on disk: 64 fragments become 4 files with
+    identical rows."""
+    import glob
+    import os
+
+    from trafficanalysisbigdata_spark.io import load_table
+    from trafficanalysisbigdata_spark.session import prep
+
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    frag = str(tmp_path / "frag")
+    compact = str(tmp_path / "compact")
+    ev.repartition(64).write.parquet(frag)
+    assert len(glob.glob(os.path.join(frag, "*.parquet"))) == 64
+    spark.read.parquet(frag).repartition(4).write.parquet(compact)
+    assert len(glob.glob(os.path.join(compact, "*.parquet"))) == 4
+    assert spark.read.parquet(compact).count() == ev.count()

@@ -224,3 +224,35 @@ def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s11_small_file_compaction",
+    oracle=_CSV_ORACLE,
+    tags=("sink", "compaction", "ops"),
+    tables=("events",),
+)
+def s11_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem, fixed in-engine: a fragmented layout (64
+    files here; in production, thousands of per-micro-batch or per-partition
+    stragglers) is compacted by read → repartition(4) → rewrite. Footer and
+    task overhead scale with FILE COUNT, not bytes, so compaction is a
+    routine 100 TB maintenance pass. The oracle aggregates the original
+    table — compaction must be a pure layout change, zero row/value drift;
+    tests/test_operator_edges.py asserts the file counts actually collapse."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = os.path.join(
+        tempfile.gettempdir(), f"s11_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
