@@ -381,3 +381,65 @@ def tx9_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "tx10_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i.i + 1, i.i + 2), ' ') AS bg,
+             list_extract(t, i.i + 1) AS w1
+      FROM toks, (SELECT UNNEST(range(0, 700)) AS i) i
+      WHERE i.i + 2 <= len(t)
+    ), bgc AS (
+      SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg
+    ), w1c AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), per_doc AS (
+      SELECT big.doc_id, AVG(-ln(bgc.c2 * 1.0 / w1c.c1)) AS nll
+      FROM big JOIN bgc USING (bg) JOIN w1c USING (w1)
+      GROUP BY big.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs, ROUND(SUM(nll), 4) AS sum_nll
+    FROM per_doc JOIN documents USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality", "lm"),
+    tables=("documents",),
+)
+def tx10_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet idea with the corpus as
+    its own LM): per-doc mean negative log-probability under the corpus
+    bigram MLE, P(w2|w1) = c(w1 w2)/c(w1 ·). Unusual text (or garbage)
+    scores high, boilerplate scores low — the model-free cousin of ml8's
+    learned filter. No smoothing needed: every doc's bigrams are in the
+    corpus by construction, so P > 0 always.
+
+    Scale shape: two count groupBys over bigram occurrences, then re-joins
+    on the bigram/prefix keys (hot boilerplate bigrams = AQE skew-split);
+    per-doc and per-source rollups are ordinary partial/final aggs. Linear
+    in total tokens."""
+    from ..functions.text import token_ngrams
+
+    docs = spark.table("documents")
+    big = docs.select(
+        "doc_id",
+        F.explode(token_ngrams(F.col("text"), 2)).alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    w1c = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    per_doc = (
+        big.join(bgc, "bg")
+        .join(w1c, "w1")
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log(F.col("c2") * 1.0 / F.col("c1"))).alias("nll"))
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.sum("nll"), 4).alias("sum_nll"))
+        .orderBy("source")
+    )
