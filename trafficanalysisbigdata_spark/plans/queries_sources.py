@@ -256,3 +256,54 @@ def s11_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s12_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    tags=("sink", "bucketing", "join"),
+    tables=("orders", "customer"),
+)
+def s12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-layout payoff as a query: both join sides are written
+    bucketed (8 buckets) on the join key, then joined from the bucketed
+    tables — the shuffle happened once at write time and is amortized over
+    every later join on that key (the 100 TB strategy for repeatedly-joined
+    fact tables). The oracle joins the ORIGINAL tables, so bucketed writes
+    must lose nothing; the zero-Exchange plan proof is in
+    tests/test_bucketing.py (here, at driver SF, AQE rightly broadcasts)."""
+    from ..io import write_partitioned
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"s12_{tag}")
+    ot, ct = f"s12_orders_{tag}", f"s12_cust_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    write_partitioned(
+        orders, os.path.join(base, "orders"), bucket_by=(8, ["o_custkey"]),
+        table_name=ot,
+    )
+    write_partitioned(
+        cust, os.path.join(base, "cust"), bucket_by=(8, ["o_custkey"]),
+        table_name=ct,
+    )
+    return (
+        spark.table(ot)
+        .join(spark.table(ct), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
