@@ -227,3 +227,53 @@ def w7_range_frame_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "w8_forward_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events GROUP BY d
+    ), gapped AS (
+      SELECT d,
+             CASE WHEN substr(md5(d), 1, 1) < '4' THEN NULL ELSE total END
+               AS observed
+      FROM daily
+    )
+    SELECT d, observed,
+           LAST_VALUE(observed IGNORE NULLS) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+    FROM gapped ORDER BY d
+    """,
+    tags=("window", "ffill", "F12"),
+    tables=("events",),
+)
+def w8_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (pandas ``ffill``, the reference's gap-repair idiom) as a
+    window: last non-null observation carried forward in date order. Gaps
+    are knocked out deterministically (md5(d) < '4' ≈ 25% of days) so the
+    fill actually exercises multi-row carries. The global window is safe on
+    the one-row-per-day series; a keyed series would partition by the key
+    and scale out."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(sum_exact("value", "total"))
+    )
+    gapped = daily.select(
+        "d",
+        F.when(F.substring(F.md5("d"), 1, 1) < "4", F.lit(None))
+        .otherwise(F.col("total"))
+        .alias("observed"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return gapped.select(
+        "d",
+        "observed",
+        F.last("observed", ignorenulls=True).over(w).alias("filled"),
+    ).orderBy("d")
