@@ -47,7 +47,7 @@ def test_a14_hll_error_bound(spark, sf_dir):
 
     prep(spark)
     register_views(spark, sf_dir, "events")
-    rows = queries()["a14_approx_distinct_users"](spark, sf_dir).collect()
+    rows = queries()["a14b_hll_estimate_audit"](spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert abs(r.n_approx - r.n_exact) <= max(1, 0.02 * r.n_exact), r
