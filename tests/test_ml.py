@@ -59,7 +59,10 @@ def test_m1_rf_regression(events):
 
 def test_m2_feature_importance(events):
     rows = models.rf_feature_importance(events).collect()
-    assert [r.feature for r in rows] != []
+    # reference parity: six features (TrafficAnalysis.py:201-214)
+    assert sorted(r.feature for r in rows) == [
+        "day_of_week", "hour_of_day", "is_weekend", "month", "user_id", "year",
+    ]
     imps = [r.importance for r in rows]
     assert abs(sum(imps) - 1.0) < 1e-6
     assert imps == sorted(imps, reverse=True)

@@ -134,3 +134,33 @@ def test_compaction_collapses_file_count(spark, sf_dir, tmp_path):
     spark.read.parquet(frag).repartition(4).write.parquet(compact)
     assert len(glob.glob(os.path.join(compact, "*.parquet"))) == 4
     assert spark.read.parquet(compact).count() == ev.count()
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """Skew-injected fixture: 400 identical boilerplate docs collide into one
+    mega-bucket per band. With the cap those buckets are dropped — candidate
+    volume stays bounded — while a genuine near-dup pair with discriminative
+    tokens (small buckets) survives. Uncapped, the same fixture produces the
+    O(bucket²) explosion the cap exists to prevent."""
+    from trafficanalysisbigdata_spark.operators.dedup import (
+        doc_token_sets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    boiler = [(i, "terms of service apply all rights reserved") for i in range(400)]
+    neardup = [
+        (1000, "quantum entanglement drives superconducting qubit gates"),
+        (1001, "quantum entanglement drives superconducting qubit arrays"),
+    ]
+    docs = spark.createDataFrame(boiler + neardup, "doc_id long, text string")
+    sig = minhash_signatures(doc_token_sets(docs), num_perm=8)
+
+    capped = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2, max_bucket=100)
+    got = {(r.doc1, r.doc2) for r in capped.collect()}
+    assert (1000, 1001) in got  # discriminative near-dup survives the cap
+    assert len(got) <= 100  # bounded: mega-buckets (400 docs) were dropped
+
+    uncapped = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2)
+    # 400 identical docs alone contribute C(400,2) = 79800 pairs
+    assert uncapped.count() >= 79800

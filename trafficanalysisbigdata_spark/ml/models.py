@@ -41,6 +41,7 @@ def feature_frame(events: DataFrame) -> DataFrame:
         "day_of_week",
         "is_weekend",
         "month",
+        "year",
         "week_of_year",
     )
 
@@ -69,8 +70,9 @@ def rf_regression(events: DataFrame) -> dict:
 
 def rf_feature_importance(events: DataFrame) -> DataFrame:
     """M2 (ref TrafficAnalysis.py:201-214): fit on the full frame, rank
-    feature importances."""
-    feats = ["hour_of_day", "month", "day_of_week", "is_weekend", "user_id"]
+    feature importances over the reference's six features
+    [hour, month, day_of_week, is_weekend, segment_id→user_id, year]."""
+    feats = ["hour_of_day", "month", "day_of_week", "is_weekend", "user_id", "year"]
     df = feature_frame(events)
     assembler = VectorAssembler(inputCols=feats, outputCol="features")
     rf = RandomForestRegressor(

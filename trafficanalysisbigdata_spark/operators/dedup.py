@@ -77,9 +77,37 @@ def minhash_signatures(tok: DataFrame, num_perm: int = 8) -> DataFrame:
     return tok.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, num_perm: int = 8, rows_per_band: int = 2) -> DataFrame:
+def bucket_capped(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket`` — the hot-bucket
+    skew guard for LSH, the band-bucket analogue of ``df_capped``.
+
+    An oversized band bucket means the band's minhash values failed to
+    discriminate (boilerplate-heavy corpora collide most of the corpus into a
+    few buckets); pair-joining such a bucket is O(bucket²) work on a single
+    shuffle key with near-zero precision. Dropping it bounds per-bucket join
+    work at ``max_bucket²/2`` pairs REGARDLESS of corpus size — an absolute
+    cap, unlike a fraction-of-corpus cap, keeps the worst bucket constant-cost
+    as the corpus grows 100×. True near-dup pairs keep colliding in their
+    discriminative buckets in other bands (OR-amplification), so recall decays
+    gracefully; the cap is the documented recall/cost dial.
+    """
+    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    keep = sizes.filter(F.col("bucket_n") <= max_bucket).select("band", "bucket")
+    return bands.join(keep, ["band", "bucket"])
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Band the signature and join docs sharing any band bucket. Output is
     distinct (doc1 < doc2) candidate pairs.
+
+    ``max_bucket`` (optional) applies ``bucket_capped`` before the self-join —
+    at web scale this is NOT optional: one boilerplate bucket holding 1% of a
+    100 TB corpus makes the self-join quadratic in that bucket.
 
     The cross-band dedup is a ``distinct`` over the SKINNY (doc1, doc2)
     projection — column pruning means only two ids per collision row ever
@@ -101,6 +129,8 @@ def lsh_candidate_pairs(sig: DataFrame, num_perm: int = 8, rows_per_band: int = 
     bands = sig.select("doc_id", F.array(*bucket_exprs).alias("bkts")).select(
         "doc_id", F.posexplode("bkts").alias("band", "bucket")
     )
+    if max_bucket is not None:
+        bands = bucket_capped(bands, max_bucket)
     a = bands.select(F.col("doc_id").alias("doc1"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc2"), "band", "bucket")
     return (

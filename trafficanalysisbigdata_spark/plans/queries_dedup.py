@@ -53,6 +53,11 @@ _MINHASH_BANDS = "\n      UNION ALL\n      ".join(
     for b in range(4)
 )
 
+# Hot-bucket cap: band buckets larger than this are dropped before the
+# candidate self-join (see operators/dedup.bucket_capped). Mirrored in the
+# DuckDB oracle so both engines run the identical algorithm.
+DD2_MAX_BUCKET = 256
+
 @register(
     "dd2_minhash_lsh",
     oracle=f"""
@@ -62,8 +67,14 @@ _MINHASH_BANDS = "\n      UNION ALL\n      ".join(
       SELECT doc_id,
              {_MINHASH_MH}
       FROM tok GROUP BY doc_id
-    ), bands AS (
+    ), bands0 AS (
       {_MINHASH_BANDS}
+    ), bsizes AS (
+      SELECT band, bucket, COUNT(*) AS bucket_n FROM bands0 GROUP BY band, bucket
+    ), bands AS (
+      SELECT b.doc_id, b.band, b.bucket FROM bands0 b
+      JOIN bsizes bs ON b.band = bs.band AND b.bucket = bs.bucket
+      WHERE bs.bucket_n <= {DD2_MAX_BUCKET}
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
       FROM bands a JOIN bands b
@@ -92,13 +103,20 @@ _MINHASH_BANDS = "\n      UNION ALL\n      ".join(
     tables=("documents",),
 )
 def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8 perms) → 4 LSH bands → candidate pairs → exact Jaccard ≥ 0.5.
+    """MinHash(8 perms) → 4 LSH bands → hot-bucket cap → candidate pairs →
+    exact Jaccard ≥ 0.5.
 
     The banded join is the 100 TB path: pair comparisons happen only inside
-    band buckets, never all-pairs. Hashes are md5 so the DuckDB oracle runs
-    the byte-identical algorithm. Single pass: candidate count, near-dup
-    count, and the jaccard sum come from ONE conditional aggregate over the
-    scored candidates — no driver action, no recomputed candidate join — and
+    band buckets, never all-pairs — and band buckets larger than
+    ``DD2_MAX_BUCKET`` are dropped first (``operators/dedup.bucket_capped``),
+    bounding the worst bucket's join work at cap²/2 pairs no matter how much
+    boilerplate the corpus holds. On this fixture (31-token vocab) the cap
+    cuts candidate volume from ~8.3M to ~116k pairs at sf0.1 while the four
+    non-discriminative mega-buckets (~62% of the corpus each) are the only
+    ones dropped. Hashes are md5 so the DuckDB oracle runs the byte-identical
+    algorithm, cap included. Single pass: candidate count, near-dup count,
+    and the jaccard sum come from ONE conditional aggregate over the scored
+    candidates — no driver action, no recomputed candidate join — and
     verification is a per-pair ``array_intersect``, not a pairs×tokens
     explode (see ``operators/dedup.jaccard_scores``).
 
@@ -109,7 +127,7 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     tok = doc_token_sets(docs)
     sig = minhash_signatures(tok, num_perm=8)
-    pairs = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2)
+    pairs = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2, max_bucket=DD2_MAX_BUCKET)
     scores = jaccard_scores(pairs, doc_token_arrays(docs))
     is_dup = F.col("jaccard") >= 0.5
     return scores.agg(
