@@ -314,3 +314,22 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(want)  # inner join emits each pair exactly once
     assert set(got) == want
     assert want  # the fixture must actually produce attributions
+
+
+def test_dashboard_map_layer_is_bounded(spark):
+    """ST2 scale guard: the map query collects at most max_map_points rows
+    per tick — deterministically (same hash-ordered sample every run) — via
+    TakeOrderedAndProject, not a global sort."""
+    big = spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    q6 = dashboard_queries(big, max_map_points=100)["q6_points"]
+    rows1 = q6.collect()
+    rows2 = dashboard_queries(big, max_map_points=100)["q6_points"].collect()
+    assert len(rows1) == 100
+    assert [r.event_id for r in rows1] == [r.event_id for r in rows2]
+    assert "TakeOrderedAndProject" in q6._jdf.queryExecution().executedPlan().toString()

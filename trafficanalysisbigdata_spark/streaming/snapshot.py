@@ -23,7 +23,17 @@ from ..functions.numeric import sum_exact
 from ..operators.topk import top_k
 
 
-def dashboard_queries(snapshot: DataFrame) -> dict[str, DataFrame]:
+# Bound on the map layer's point count (Q6). The reference renders the whole
+# snapshot (Dash.py:239-250) — fine for 1.7M rows in one pandas process, a
+# driver OOM at 100×. A deterministic top-N by md5(event_id) keeps the layer
+# a fixed-size, reproducible sample: TakeOrderedAndProject, per-partition
+# heaps, never a full sort or a full collect.
+MAX_MAP_POINTS = 1000
+
+
+def dashboard_queries(
+    snapshot: DataFrame, max_map_points: int = MAX_MAP_POINTS
+) -> dict[str, DataFrame]:
     """The six per-tick dashboard queries (ref Dash.py:177-250) over one
     snapshot, mapped onto the events schema per FIXTURES.md §2."""
     latest_day = snapshot.agg(F.max(F.to_date("ts")).alias("d"))
@@ -49,8 +59,14 @@ def dashboard_queries(snapshot: DataFrame) -> dict[str, DataFrame]:
         ),
         # Q4/Q5 (Dash.py:220-236): categorical totals (pie + bar share a query)
         "q4_type_totals": snapshot.groupBy("event_type").agg(sum_exact("value", "total")),
-        # Q6 (Dash.py:239-250): point projection for the map
-        "q6_points": snapshot.select("event_id", "user_id", "value"),
+        # Q6 (Dash.py:239-250): point projection for the map — bounded to a
+        # deterministic hash-ordered sample so the per-tick collect stays
+        # O(max_map_points) however large the snapshot grows
+        "q6_points": (
+            snapshot.select("event_id", "user_id", "value")
+            .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+            .limit(max_map_points)
+        ),
     }
 
 
