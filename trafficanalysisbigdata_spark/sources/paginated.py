@@ -22,9 +22,11 @@ and read with:
 
 from __future__ import annotations
 
+import importlib
 import json
 import os
-from collections.abc import Iterator
+import time
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -38,6 +40,97 @@ from pyspark.sql.types import StructType
 
 from .traffic import RAW_COLUMNS, RAW_SCHEMA
 
+# A fetcher is the page-transport seam: given a page "address" (here a file
+# path; for a live API, a URL with $limit/$offset query params — the
+# reference's Socrata contract, TrafficAnalysis.py:31-53) it returns the
+# page's records. Swapping file transport for HTTP is a config change
+# (`fetcher` option naming a module:callable), not an edit to read().
+PageFetcher = Callable[[str], "list[dict]"]
+
+
+def fetch_page_file(path: str) -> list[dict]:
+    """Default fetcher: one JSONL page file → its records."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
+
+
+class FetchError(RuntimeError):
+    """A page fetch failed after exhausting its retry budget."""
+
+
+class RetryingFetcher:
+    """Wrap a fetcher with retry + rate-limit — the operational half of the
+    reference's paginated-API contract its driver loop never had.
+
+    * ``retries``: attempts after the first failure; exponential backoff
+      ``backoff_s * 2**attempt`` between tries.
+    * ``min_interval_s``: minimum spacing between fetch *starts* (per task —
+      each Spark task fetches its own pages, so with N parallel tasks the
+      aggregate rate is N/min_interval; size accordingly for a rate-limited
+      API).
+    * ``sleep``/``clock`` are injectable for deterministic tests.
+    """
+
+    def __init__(
+        self,
+        fetch: PageFetcher,
+        retries: int = 3,
+        backoff_s: float = 0.5,
+        min_interval_s: float = 0.0,
+        sleep: Callable[[float], None] = time.sleep,
+        clock: Callable[[], float] = time.monotonic,
+    ) -> None:
+        self.fetch = fetch
+        self.retries = retries
+        self.backoff_s = backoff_s
+        self.min_interval_s = min_interval_s
+        self.sleep = sleep
+        self.clock = clock
+        self._last_start: float | None = None
+
+    def __call__(self, address: str) -> list[dict]:
+        if self.min_interval_s and self._last_start is not None:
+            wait = self._last_start + self.min_interval_s - self.clock()
+            if wait > 0:
+                self.sleep(wait)
+        self._last_start = self.clock()
+        err: Exception | None = None
+        for attempt in range(self.retries + 1):
+            try:
+                return self.fetch(address)
+            except Exception as e:  # noqa: BLE001 — transport errors are opaque
+                err = e
+                if attempt < self.retries:
+                    self.sleep(self.backoff_s * (2**attempt))
+        raise FetchError(f"page fetch failed after {self.retries + 1} attempts: {address}") from err
+
+
+def _resolve_fetcher(options: dict) -> PageFetcher:
+    """Build the configured fetcher: ``fetcher`` is a ``module:callable``
+    dotted path (default: the file transport); retry/rate options apply on
+    top. Resolution happens on the executor (the reader is pickled by
+    reference to its options), so the callable must be importable there."""
+    spec = options.get("fetcher")
+    if spec:
+        mod, _, attr = spec.partition(":")
+        base: PageFetcher = getattr(importlib.import_module(mod), attr)
+    else:
+        base = fetch_page_file
+    retries = int(options.get("retries", 0))
+    min_interval_s = float(options.get("min_interval_s", 0.0))
+    if retries or min_interval_s:
+        return RetryingFetcher(
+            base,
+            retries=retries,
+            backoff_s=float(options.get("backoff_s", 0.5)),
+            min_interval_s=min_interval_s,
+        )
+    return base
+
 
 @dataclass
 class PagePartition(InputPartition):
@@ -48,6 +141,7 @@ class PaginatedJsonReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.columns = schema.fieldNames()
         self.dir = options["path"]
+        self.options = dict(options)
         self.pushed: dict[str, str] = {}
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -70,21 +164,20 @@ class PaginatedJsonReader(DataSourceReader):
         return [PagePartition(os.path.join(self.dir, f)) for f in pages]
 
     def read(self, partition: PagePartition) -> Iterator[tuple]:
-        """Runs on an executor: parse one page, emit all-strings rows with
-        permissive NULLs for absent keys (the Socrata JSON contract)."""
-        with open(partition.path) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                rec = json.loads(line)
-                if any(
-                    rec.get(k) is None or str(rec[k]) != v
-                    for k, v in self.pushed.items()
-                ):
-                    continue
-                yield tuple(
-                    None if rec.get(c) is None else str(rec[c]) for c in self.columns
-                )
+        """Runs on an executor: fetch one page via the configured transport,
+        emit all-strings rows with permissive NULLs for absent keys (the
+        Socrata JSON contract). Pushed equality filters apply here, before
+        rows enter Spark."""
+        fetcher = _resolve_fetcher(self.options)
+        for rec in fetcher(partition.path):
+            if any(
+                rec.get(k) is None or str(rec[k]) != v
+                for k, v in self.pushed.items()
+            ):
+                continue
+            yield tuple(
+                None if rec.get(c) is None else str(rec[c]) for c in self.columns
+            )
 
 
 class PaginatedJsonDataSource(DataSource):
@@ -102,4 +195,12 @@ class PaginatedJsonDataSource(DataSource):
         return PaginatedJsonReader(schema, self.options)
 
 
-__all__ = ["PaginatedJsonDataSource", "PaginatedJsonReader", "RAW_COLUMNS", "RAW_SCHEMA"]
+__all__ = [
+    "FetchError",
+    "PaginatedJsonDataSource",
+    "PaginatedJsonReader",
+    "RAW_COLUMNS",
+    "RAW_SCHEMA",
+    "RetryingFetcher",
+    "fetch_page_file",
+]
