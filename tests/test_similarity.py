@@ -94,3 +94,52 @@ def test_centroid_semantic_dedup_invariants(spark, sf_dir):
         assert 1 <= r.n_survivors <= r.n_assigned
     # the fixtures contain loose near-dups at cos >= 0.30 — collapse must bite
     assert sum(r.n_dupes for r in rows) > 0
+
+
+def test_ivf_index_persist_and_query(spark, tmp_path):
+    """The persisted-index lifecycle: build once (fit + write), query many —
+    on a CLUSTERED fixture (IVF's intended regime) recall vs brute force
+    must clear a higher bar than the uniform-fixture path, the indexed query
+    must match the in-memory path bit-for-bit (same seed => same quantizer),
+    and the assignments scan must be partition-pruned to the probed cells."""
+    import numpy as np
+
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.RandomState(42)
+    centers = rng.randn(8, 16) * 5.0
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, [float(x) for x in centers[c] + rng.randn(16) * 0.3]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 10)
+
+    index_dir = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, index_dir, n_clusters=8)
+    indexed = ivf_topk_indexed(spark, index_dir, probes, k=5, n_probe=2)
+    got = {(r.query_id, r.neighbor_id) for r in indexed.collect()}
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"clustered-fixture IVF recall too low: {recall}"
+
+    # same quantizer seed => the unindexed path agrees exactly
+    inmem = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, probes, k=5, n_clusters=8, n_probe=2).collect()
+    }
+    assert got == inmem
+
+    # the index read must only scan probed cl= partitions: with 10 probes x
+    # n_probe=2 over 8 clusters, pruning keeps <= 8; the plan shows a
+    # dynamic partition filter rather than a full scan
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

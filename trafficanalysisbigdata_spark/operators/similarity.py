@@ -276,8 +276,18 @@ def ivf_topk(
     Centroids are tiny (n_clusters × dim) so the probe→centroid shortlist
     is a broadcast cross join; the candidate fetch is an equi-join on the
     cluster id — never a corpus cross join. Fit cost is MLlib's distributed
-    k-means, amortized over the query batch (production would persist the
-    model + assignments as an index table)."""
+    k-means, amortized over the query batch; ``build_ivf_index`` +
+    ``ivf_topk_indexed`` persist the fit so query time pays none of it."""
+    assigned, centers = _ivf_fit(corpus, n_clusters, id_col, vec_col, seed)
+    return _ivf_query(assigned, centers, probes, k, n_probe, id_col, vec_col)
+
+
+def _ivf_fit(
+    corpus: DataFrame, n_clusters: int, id_col: str, vec_col: str, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the k-means coarse quantizer; return (assignments, centroids).
+    Assignments carry the vector and its precomputed norm so query-time
+    scoring is one fold per pair."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -297,6 +307,59 @@ def ivf_topk(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cl int, center array<double>",
     )
+    return assigned, centers
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the IVF index: assignments parquet PARTITIONED BY cluster id
+    (``{index_dir}/assignments/cl=N/``) + a centroids table.
+
+    Partitioning by ``cl`` is the scale payoff: a query batch probing
+    ``n_probe`` of ``n_clusters`` cells reads only that fraction of the
+    corpus from disk — the centroid shortlist join broadcasts, and dynamic
+    partition pruning turns it into a partition filter on the scan. The fit
+    (the expensive stage) runs once here; ``ivf_topk_indexed`` pays none of
+    it."""
+    assigned, centers = _ivf_fit(corpus, n_clusters, id_col, vec_col, seed)
+    assigned.write.mode("overwrite").partitionBy("cl").parquet(f"{index_dir}/assignments")
+    centers.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    k: int,
+    n_probe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a persisted index (``build_ivf_index``): no fit
+    stage — centroids load as a broadcast dimension, assignments scan only
+    the probed ``cl=`` partitions (dynamic partition pruning)."""
+    assigned = spark.read.parquet(f"{index_dir}/assignments")
+    centers = spark.read.parquet(f"{index_dir}/centroids")
+    return _ivf_query(assigned, centers, probes, k, n_probe, id_col, vec_col)
+
+
+def _ivf_query(
+    assigned: DataFrame,
+    centers: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF query path: broadcast centroid shortlist → cluster-id
+    equi-join → prenorm cosine → per-probe top-k."""
     p = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),

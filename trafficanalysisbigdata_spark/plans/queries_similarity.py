@@ -180,6 +180,35 @@ def sim5_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim6_ivf_indexed_topk",
+    oracle=None,  # shares sim5's non-SQL k-means fit; parity with the
+    # unindexed path and partition pruning are asserted in tests
+    tags=("similarity", "ann", "ivf", "index"),
+    tables=("embeddings",),
+)
+def sim6_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim5 against a PERSISTED index: the k-means fit runs once into
+    ``build_ivf_index`` (assignments parquet partitioned by cluster id +
+    centroids), and the query reads the index — no fit stage, and the scan
+    touches only probed ``cl=`` partitions. Index builds lazily per sf_dir
+    (keyed by path hash) the first time the query runs; reruns are pure
+    queries, which is the production IVF lifecycle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = spark.table("embeddings")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    if not os.path.exists(os.path.join(index_dir, "assignments", "_SUCCESS")):
+        build_ivf_index(emb, index_dir, n_clusters=16)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk_indexed(spark, index_dir, probes, k=5, n_probe=6)
+
+
+@register(
     "dd5_semantic_centroid_dedup",
     oracle="""
     WITH cent AS (
