@@ -4,7 +4,13 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "total_query_wall_seconds", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1, "iters": 3}
+
+Each per-query number is the MEDIAN of ``$SPARK_GRAFT_BENCH_ITERS``
+(default 3) full passes — single-shot wall times on a shared host swing
+±12% with load (see BENCH_LOCAL.md), and medians of interleaved passes are
+robust to a noisy neighbor landing on one pass. ``value`` is the sum of the
+medians.
 
 Each query is forced end-to-end with the noop sink (full physical execution,
 zero serialization-to-driver cost), after a warmup action that absorbs JVM /
@@ -16,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
 # Headline set: every operator family with its most expensive representative —
 # scans/aggs, multi-way shuffle joins, as-of, windows, wide/unpivot, top-k,
@@ -63,6 +71,11 @@ BENCH_QUERIES = [
     "pipe5_decontaminate",
     "tx9_boilerplate_share",
     "st5_purchase_view_attribution",
+    # representatives of the previously-unbenched families
+    "olap1_rollup_region_nation",
+    "st1_tumbling_hourly",
+    "w6_daily_distribution_ranks",
+    "pipe4_hash_sample",
 ]
 
 
@@ -88,21 +101,31 @@ def main() -> None:
     warm = specs["a1_totals_by_event_type"].run(spark, SF_DIR)
     warm.write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        spec = specs.get(name)
-        if spec is None:
-            print(f"bench: unknown query {name!r}, skipping", file=sys.stderr)
-            continue
-        t0 = time.perf_counter()
-        try:
-            spec.run(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        except Exception as e:  # keep the JSON line emitting no matter what
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            times[name] = -1.0
-            continue
-        times[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    failed: set[str] = set()
+    for it in range(ITERS):
+        for name in BENCH_QUERIES:
+            spec = specs.get(name)
+            if spec is None:
+                if it == 0:
+                    print(f"bench: unknown query {name!r}, skipping", file=sys.stderr)
+                failed.add(name)
+                continue
+            if name in failed:
+                continue
+            t0 = time.perf_counter()
+            try:
+                spec.run(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # keep the JSON line emitting no matter what
+                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+                failed.add(name)
+                continue
+            samples[name].append(time.perf_counter() - t0)
 
+    times = {
+        name: (round(statistics.median(s), 3) if s and name not in failed else -1.0)
+        for name, s in samples.items()
+    }
     ok = {k: v for k, v in times.items() if v >= 0}
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     try:
@@ -117,6 +140,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "iters": ITERS,
             }
         )
     )
