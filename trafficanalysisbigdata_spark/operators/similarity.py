@@ -425,9 +425,15 @@ def centroid_semantic_dedup(
 ) -> DataFrame:
     """IVF-style semantic dedup: a deterministic coarse quantizer partitions
     the corpus; within each cell, a doc SURVIVES iff no smaller-id doc in the
-    cell is a near-dup (cosine >= threshold) — the greedy min-id retention
-    rule. Returns one row per centroid: (cid, n_assigned, n_survivors,
-    n_dupes).
+    cell is a near-dup (cosine >= threshold) — the min-id retention rule.
+    Returns one row per centroid: (cid, n_assigned, n_survivors, n_dupes).
+
+    Note this rule is NOT transitive-greedy dedup: in a chain A–B–C (A~B,
+    B~C, A≁C) it removes C because its near-dup B has a smaller id, even
+    though B itself was removed — sequential-greedy would keep C. The
+    one-pass rule over-removes relative to greedy but is order-independent
+    and join-expressible (greedy is inherently sequential per cell); the
+    oracle states and matches the same rule.
 
     Unlike ``ivf_topk``'s k-means quantizer, centroids here are chosen
     deterministically — the ``n_centroids`` corpus vectors with the smallest
