@@ -174,18 +174,34 @@ def jaccard_verify(pairs: DataFrame, sets: DataFrame, threshold: float) -> DataF
     return jaccard_scores(pairs, sets).filter(F.col("jaccard") >= threshold)
 
 
-def df_capped(postings: DataFrame, docs_total: DataFrame, max_df_frac: float) -> DataFrame:
-    """Drop postings whose token appears in more than ``max_df_frac`` of the
-    corpus — the standard hot-shingle skew guard: one boilerplate shingle
-    shared by 1% of a 100 TB corpus makes the candidate self-join quadratic in
-    its posting-list length. The cap bounds every posting list (hence every
-    join bucket) at ``max_df_frac * n_docs``. ``docs_total`` is a one-row
-    (n_docs) aggregate, joined in as a broadcast literal — no driver action.
+def df_capped(
+    postings: DataFrame,
+    docs_total: DataFrame,
+    max_df_frac: float,
+    max_df_abs: int = 256,
+) -> DataFrame:
+    """Drop postings whose token's document frequency exceeds
+    ``min(max_df_frac * n_docs, max_df_abs)`` — the hot-shingle skew guard:
+    one boilerplate shingle shared by 1% of a 100 TB corpus makes the
+    candidate self-join quadratic in its posting-list length.
+
+    BOTH bounds matter. The fractional cap alone is NOT scale-safe: it allows
+    posting lists of ``f·n``, so worst-case per-shingle pair volume is
+    ``(f·n)² — still quadratic in the corpus``. Measured: the 10× scale
+    rehearsal (scripts/scale_rehearsal.py) ran dd4 45× slower at 10× data
+    under the fraction-only cap. The absolute cap bounds per-shingle work at
+    ``max_df_abs²/2`` pairs at any corpus size; the fractional cap keeps
+    small corpora from pairing on their commonest shingles. ``docs_total`` is
+    a one-row (n_docs) aggregate, joined in as a broadcast literal — no
+    driver action.
     """
     tok_df = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     keep = (
         tok_df.crossJoin(F.broadcast(docs_total))
-        .filter(F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+        .filter(
+            F.col("df")
+            <= F.least(F.lit(max_df_frac) * F.col("n_docs"), F.lit(float(max_df_abs)))
+        )
         .select("token")
     )
     return postings.join(keep, "token")

@@ -190,7 +190,7 @@ def dd3_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n_docs FROM documents
     ), keep AS (
       SELECT token FROM (SELECT token, COUNT(*) AS df FROM sh GROUP BY token), tot
-      WHERE df <= 0.05 * n_docs
+      WHERE df <= LEAST(0.05 * n_docs, 256)
     ), shc AS (
       SELECT sh.* FROM sh JOIN keep USING (token)
     ), sizes AS (
@@ -220,11 +220,13 @@ def dd3_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-shingle Jaccard near-dup: candidates = pairs sharing a
-    NON-boilerplate shingle (document frequency ≤ 5% of the corpus — the
-    hot-key skew guard; see ``operators/dedup.df_capped``) with |Δn_chars| ≤
-    20 as the blocking key, then exact set Jaccard ≥ 0.25 over the FULL
-    shingle sets. Without the cap, one shingle shared by 1% of a 100 TB
-    corpus makes the candidate self-join quadratic in its posting length.
+    NON-boilerplate shingle (document frequency ≤ min(5% of corpus, 256) —
+    the hot-key skew guard; see ``operators/dedup.df_capped`` for why the
+    absolute bound is load-bearing: a fraction-only cap still admits
+    (0.05·n)²-pair shingles, measured 45× superlinear at 10× in the scale
+    rehearsal) with |Δn_chars| ≤ 20 as the blocking key, then exact set
+    Jaccard ≥ 0.25 over the FULL shingle sets. At every driver test scale
+    (≤ sf0.1) 0.05·n < 256, so the absolute bound changes nothing there.
     Verification is per-pair ``array_intersect`` — no pairs×shingles explode."""
     docs = spark.table("documents").select("doc_id", "n_chars", "text")
     docs_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
