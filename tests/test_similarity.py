@@ -143,3 +143,28 @@ def test_ivf_index_persist_and_query(spark, tmp_path):
     # dynamic partition filter rather than a full scan
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_embedding_lsh_bucket_cap_bounds_candidates(spark):
+    """Embedding twin of the dd2 skew guard: 300 identical vectors collide in
+    every table; the cap drops those buckets, a genuine near pair with its
+    own sign pattern survives, and candidate volume stays bounded."""
+    import numpy as np
+
+    from trafficanalysisbigdata_spark.operators.similarity import lsh_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    boiler_vec = [float(x) for x in rng.randn(16)]
+    distinct = rng.randn(16)
+    rows = [(i, boiler_vec) for i in range(300)]
+    rows.append((1000, [float(x) for x in distinct]))
+    rows.append((1001, [float(x) for x in distinct + rng.randn(16) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = lsh_neardup_pairs(emb, 0.9, n_tables=8, n_planes=4, dim=16, max_bucket=100)
+    got = {(r.id1, r.id2) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert len(got) <= 50  # the 300-vector buckets were dropped
+
+    uncapped = lsh_neardup_pairs(emb, 0.9, n_tables=8, n_planes=4, dim=16)
+    assert uncapped.count() >= 300 * 299 / 2  # identical vectors all pair up

@@ -214,6 +214,18 @@ def lsh_topk(
     )
 
 
+def table_bucket_capped(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop (t, bucket) groups larger than ``max_bucket`` — the embedding-LSH
+    twin of ``dedup.bucket_capped``. A dense embedding region (boilerplate
+    pages, template images) collides a fixed sign pattern across tables;
+    pair-joining that bucket is O(bucket²) on one shuffle key. The absolute
+    cap bounds per-bucket work at any corpus size; raising ``n_planes``
+    (purer buckets) is the recall-preserving dial to apply alongside it."""
+    sizes = buckets.groupBy("t", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    keep = sizes.filter(F.col("bucket_n") <= max_bucket).select("t", "bucket")
+    return buckets.join(keep, ["t", "bucket"])
+
+
 def lsh_neardup_pairs(
     corpus: DataFrame,
     threshold: float,
@@ -222,12 +234,18 @@ def lsh_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded LSH candidates (pairs
     colliding in any table), then exact cosine ≥ threshold. Never all-pairs —
-    the recall/candidate-volume dial is (n_tables, n_planes)."""
+    the recall/candidate-volume dial is (n_tables, n_planes), and
+    ``max_bucket`` (optional) applies ``table_bucket_capped`` before the
+    self-join: at web scale a dense region's bucket is the same quadratic
+    hazard the MinHash path caps (see ``dedup.bucket_capped``)."""
     ba = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "id1")
-    bb = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "id2")
+    if max_bucket is not None:
+        ba = table_bucket_capped(ba, max_bucket)
+    bb = ba.select(F.col("id1").alias("id2"), "t", "bucket")
     cand = (
         ba.join(bb, ["t", "bucket"])
         .filter(F.col("id1") < F.col("id2"))

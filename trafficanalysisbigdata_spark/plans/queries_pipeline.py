@@ -381,39 +381,43 @@ def pipe5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-token shingle with the train split. Long shingles mean a shared
     VOCABULARY doesn't trigger — only duplicated passages do.
 
-    Scale shape: shingle postings are (doc_id, shingle) distinct pairs; the
-    overlap test is a LEFT SEMI join on the shingle key — train shingles
-    never fan out per eval doc, and no doc pair is ever materialized. A hot
-    boilerplate shingle skews one reducer; AQE skew-split covers it (semi
-    joins can't blow up output rows)."""
+    Scale shape: postings are exploded ONCE (explode_outer keeps shingle-less
+    eval docs in the denominator) and shuffled by shingle ONCE; "shares a
+    shingle with train" is MAX(is_train) OVER (PARTITION BY shingle), then a
+    per-doc max and a per-source rollup. The earlier semi-join formulation
+    (train shingles distinct → left-semi → doc-level rejoin) recomputed the
+    interpreted 5-gram explode three times and paid two extra exchanges —
+    measured 2.2× slower at sf0.1 (5.4-5.7s vs 2.5s), identical results.
+    No doc pair is ever materialized either way. Skew caveat as in tx9: a
+    window partition can't be AQE-skew-split, so at 100× a boilerplate
+    shingle lands on one task — there, persist the train-shingle DF table
+    once and broadcast-semi-join it (the previous shape), or cap hot
+    shingles like dd4."""
+    from pyspark.sql import Window
+
     from ..functions.text import token_ngrams
 
     docs = spark.table("documents")
-    base = docs.select(
+    pairs = docs.select(
         "doc_id",
         "source",
         (_hash_frac(F.col("doc_id")) < 0.75).alias("is_train"),
-        F.array_distinct(token_ngrams(F.col("text"), 5)).alias("sh"),
+        F.explode_outer(F.array_distinct(token_ngrams(F.col("text"), 5))).alias("shingle"),
     )
-    pairs = base.select(
-        "doc_id", "is_train", F.explode("sh").alias("shingle")
-    )
-    train_sh = pairs.filter("is_train").select("shingle").distinct()
-    contam = (
-        pairs.filter(~F.col("is_train"))
-        .join(train_sh, "shingle", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__c", F.lit(1))
+    flagged = pairs.withColumn(
+        "has_train",
+        F.when(F.col("shingle").isNull(), F.lit(0)).otherwise(
+            F.max(F.col("is_train").cast("int")).over(Window.partitionBy("shingle"))
+        ),
     )
     return (
-        base.filter(~F.col("is_train"))
-        .select("doc_id", "source")
-        .join(contam, "doc_id", "left")
+        flagged.filter(~F.col("is_train"))
+        .groupBy("doc_id", "source")
+        .agg(F.max("has_train").alias("__c"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_eval"),
-            F.sum(F.coalesce("__c", F.lit(0))).cast("bigint").alias("n_contaminated"),
+            F.sum("__c").cast("bigint").alias("n_contaminated"),
         )
         .orderBy("source")
     )
