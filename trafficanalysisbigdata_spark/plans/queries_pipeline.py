@@ -421,3 +421,65 @@ def pipe5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SHARD_SQL = (
+    f"CAST(FLOOR(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" / {_HEX_MOD} * 16) AS INT)"
+)
+
+@register(
+    "pipe6_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SHARD_SQL} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+               AS start_off
+      FROM t
+    ), marked AS (
+      SELECT shard, n_tokens, start_off,
+             CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS seq_id,
+             CAST(FLOOR((start_off + n_tokens - 1) / 2048.0) AS BIGINT) AS end_seq
+      FROM packed
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(end_seq) + 1 AS BIGINT) AS n_sequences,
+           CAST(SUM(CASE WHEN end_seq > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers,
+           CAST(SUM(seq_id) AS BIGINT) AS seq_id_checksum
+    FROM marked GROUP BY shard ORDER BY shard
+    """,
+    tags=("pipeline", "packing"),
+    tables=("documents",),
+)
+def pipe6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing audit (concat-then-chunk, GPT-style): documents are
+    md5-hash-sharded (16 shards), concatenated in doc_id order per shard, and
+    cut every 2048 tokens. Per shard: docs, tokens, resulting sequence count,
+    boundary-straddling docs, and a checksum over every doc's assigned
+    sequence id — so the oracle pins the FULL assignment, not just totals.
+
+    Scale shape: see ``operators/packing.pack_sequences`` — one window cumsum
+    per shard, shard count = parallelism dial, no global order, no driver
+    state. Wasted tokens = n_sequences*2048 - total_tokens, only in each
+    shard's final chunk."""
+    from ..operators.packing import pack_sequences
+
+    packed = pack_sequences(spark.table("documents"), seq_len=2048, n_shards=16)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.max("end_seq") + 1).cast("bigint").alias("n_sequences"),
+            F.sum("straddles").cast("bigint").alias("n_straddlers"),
+            F.sum("seq_id").cast("bigint").alias("seq_id_checksum"),
+        )
+        .orderBy("shard")
+    )
