@@ -164,3 +164,39 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     uncapped = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2)
     # 400 identical docs alone contribute C(400,2) = 79800 pairs
     assert uncapped.count() >= 79800
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 collapses to one component labeled min=1 (transitivity —
+    the semantics pairwise dedup rules approximate); disjoint pair and
+    triangle keep their own min labels; pointer jumping converges."""
+    from trafficanalysisbigdata_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc1 long, doc2 long",
+    )
+    got = {(r.v, r.component) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-vertex path is the pointer-jumping stress case: plain min
+    propagation needs 63 rounds, jumping needs ~log2(63); max_iter=12 would
+    fail without it."""
+    from trafficanalysisbigdata_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc1 long, doc2 long"
+    )
+    comp = connected_components(edges, max_iter=12)
+    labels = {r.component for r in comp.collect()}
+    assert labels == {0}

@@ -58,10 +58,8 @@ _MINHASH_BANDS = "\n      UNION ALL\n      ".join(
 # DuckDB oracle so both engines run the identical algorithm.
 DD2_MAX_BUCKET = 256
 
-@register(
-    "dd2_minhash_lsh",
-    oracle=f"""
-    WITH tok AS (
+# The full dd2 pipeline as SQL CTEs (shared by the dd2 and dd6 oracles).
+_DD2_CTES = f"""tok AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ), mh AS (
       SELECT doc_id,
@@ -93,7 +91,12 @@ DD2_MAX_BUCKET = 256
       FROM common c
       JOIN sizes s1 ON s1.doc_id = c.doc1
       JOIN sizes s2 ON s2.doc_id = c.doc2
-    )
+    )"""
+
+@register(
+    "dd2_minhash_lsh",
+    oracle=f"""
+    WITH {_DD2_CTES}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
            CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS n_neardup,
            ROUND(SUM(jaccard) FILTER (WHERE jaccard >= 0.5), 4) AS sum_jaccard
@@ -247,4 +250,64 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.agg(
         F.count(F.lit(1)).alias("n_neardup"),
         F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
+    )
+
+
+@register(
+    "dd6_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DD2_CTES}, neardup AS (
+      SELECT doc1, doc2 FROM scored WHERE jaccard >= 0.5
+    ), sym AS (
+      SELECT doc1 AS v, doc2 AS w FROM neardup
+      UNION
+      SELECT doc2 AS v, doc1 AS w FROM neardup
+    ), reach AS (
+      SELECT v, w FROM sym
+      UNION
+      SELECT r.v, s.w FROM reach r JOIN sym s ON r.w = s.v
+    ), lab AS (
+      SELECT v, LEAST(v, MIN(w)) AS component FROM reach GROUP BY v
+    ), comps AS (
+      SELECT component, COUNT(*) AS size FROM lab GROUP BY component
+    )
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(component) AS BIGINT) AS keeper_id_sum
+    FROM comps GROUP BY size ORDER BY size
+    """,
+    tags=("dedup", "components", "transitive"),
+    tables=("documents",),
+)
+def dd6_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup closure: dd2's verified near-dup pairs (capped LSH →
+    Jaccard ≥ 0.5) become CLUSTERS via connected components — chain A–B–C
+    collapses to one keeper (min id) even though A≁C pairwise, the semantics
+    pairwise dd2/dd5 rules approximate. Output: component-size histogram
+    with per-size keeper-id checksums, which pins the full clustering.
+
+    Spark side is iterative min-label propagation with pointer jumping
+    (``operators/components.connected_components`` — O(log diameter) rounds,
+    two shuffles per round, lineage truncated per round); the oracle is a
+    recursive-CTE reachability closure. An iterative distributed algorithm
+    with an exact relational oracle — the fixpoint is engine-independent."""
+    from ..operators.components import connected_components
+
+    docs = spark.table("documents")
+    tok = doc_token_sets(docs)
+    sig = minhash_signatures(tok, num_perm=8)
+    pairs = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2, max_bucket=DD2_MAX_BUCKET)
+    edges = jaccard_scores(pairs, doc_token_arrays(docs)).filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc1", "doc2")
+    comp = connected_components(edges)
+    comps = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        comps.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.sum("component").cast("bigint").alias("keeper_id_sum"),
+        )
+        .select(F.col("size").cast("bigint").alias("size"), "n_components", "keeper_id_sum")
+        .orderBy("size")
     )
