@@ -410,3 +410,77 @@ def a14b_hll_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "a15_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           TRUE AS approx_rank_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "quantiles", "approx"),
+    tables=("events",),
+)
+def a15_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quantiles: exact percentiles + the approx contract.
+
+    At 100 TB exact ``percentile`` is the problem — it buffers each group's
+    values for an exact sort. ``approx_percentile`` (t-digest-style sketch)
+    merges map-side in constant memory per group with a RANK-error guarantee
+    of 1/accuracy. As with a14, the sketch value itself is engine-specific,
+    so the oracle-checked surface is (a) the exact quantiles (DuckDB
+    ``quantile_cont`` — same linear interpolation as Spark ``percentile``)
+    and (b) the guarantee itself: ``approx_rank_ok`` asserts each approx
+    value lies between the exact quantiles at q ± 2/accuracy, which the
+    oracle states as literal TRUE. A red row means Spark's sketch broke its
+    own rank bound."""
+    qs, acc = [0.5, 0.9, 0.99], 1000
+    eps = 2.0 / acc
+    q_arr = ",".join(str(q) for q in qs)
+    events = spark.table("events")
+    agg = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({q_arr}))").alias("ex"),
+        F.expr(f"approx_percentile(value, array({q_arr}), {acc})").alias("ap"),
+    )
+    # Rank audit pass: each approx value's TRUE rank window [#(<a)/n, #(<=a)/n]
+    # must contain its target quantile within ±eps. Checking ranks directly
+    # (not a value bracket) avoids interpolated-endpoint artifacts at small n.
+    targets = agg.select(
+        "event_type", F.posexplode("ap").alias("qi", "a")
+    ).withColumn(
+        "q", F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("qi") + 1)
+    )
+    ranks = (
+        events.join(F.broadcast(targets), "event_type")
+        .groupBy("event_type", "qi", "q", "a")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("a")).cast("long")).alias("n_lt"),
+            F.sum((F.col("value") <= F.col("a")).cast("long")).alias("n_le"),
+        )
+        .select(
+            "event_type",
+            (
+                (F.col("n_lt") / F.col("n") - eps <= F.col("q"))
+                & (F.col("q") <= F.col("n_le") / F.col("n") + eps)
+            ).alias("ok"),
+        )
+        .groupBy("event_type")
+        .agg(F.min("ok").alias("approx_rank_ok"))
+    )
+    return (
+        agg.join(ranks, "event_type")
+        .select(
+            "event_type",
+            *[
+                F.round(F.col("ex")[i], 6).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(qs)
+            ],
+            "approx_rank_ok",
+        )
+        .orderBy("event_type")
+    )

@@ -452,3 +452,56 @@ def tx10_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.sum("nll"), 4).alias("sum_nll"))
         .orderBy("source")
     )
+
+
+@register(
+    "tx11_repetition_filter",
+    oracle="""
+    WITH tg AS (
+      SELECT source,
+             list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]) AS g
+      FROM documents
+    ), f AS (
+      SELECT source, len(g) AS n_tg, len(g) - len(list_distinct(g)) AS n_rep
+      FROM tg WHERE len(g) > 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_rep AS DOUBLE) / n_tg), 6) AS avg_rep_frac,
+           CAST(SUM(CASE WHEN CAST(n_rep AS DOUBLE) / n_tg > 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM f GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality", "repetition"),
+    tables=("documents",),
+)
+def tx11_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram fraction per document (the Gopher-rules repetition
+    signal: loops, listicles and degenerate generations repeat n-grams far
+    above prose baseline), rolled up per source with a >20% removal flag.
+    Pure per-row Catalyst array math on one scan + one groupBy — no
+    postings, no joins; docs under 3 tokens are excluded (no trigrams)."""
+    from ..functions.text import token_ngrams
+
+    tg = token_ngrams(F.col("text"), 3)
+    per_doc = (
+        spark.table("documents")
+        .select(
+            "source",
+            F.size(tg).alias("n_tg"),
+            (F.size(tg) - F.size(F.array_distinct(tg))).alias("n_rep"),
+        )
+        .filter(F.col("n_tg") > 0)
+        .select("source", (F.col("n_rep") / F.col("n_tg")).alias("rep_frac"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep_frac"), 6).alias("avg_rep_frac"),
+            F.sum((F.col("rep_frac") > 0.2).cast("int")).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
