@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     "st1_tumbling_hourly",
     "w6_daily_distribution_ranks",
     "pipe4_hash_sample",
+    # round-5 additions
+    "dd6_dedup_components",
+    "pipe6_sequence_pack",
+    "a15_quantiles",
+    "tx11_repetition_filter",
+    "sim6_ivf_indexed_topk",
 ]
 
 
