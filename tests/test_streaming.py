@@ -333,3 +333,48 @@ def test_dashboard_map_layer_is_bounded(spark):
     assert len(rows1) == 100
     assert [r.event_id for r in rows1] == [r.event_id for r in rows2]
     assert "TakeOrderedAndProject" in q6._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment (AvailableNow, two files => two batches) must
+    emit exactly the batch join's enriched rows — stateless per-batch join
+    against the static dimension."""
+    from trafficanalysisbigdata_spark.streaming.enrich import enrich_with_dim
+
+    prep(spark)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .filter(F.col("user_id") < 60)
+    )
+    dim = load_table(spark, sf_dir, "customer")
+    src = str(tmp_path / "enrich_src")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    got: list = []
+
+    def sink(df, _bid):
+        got.extend((r.event_id, r.c_mktsegment, r.c_acctbal) for r in df.collect())
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        enrich_with_dim(stream, dim)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    want = {
+        (r.event_id, r.c_mktsegment, r.c_acctbal)
+        for r in enrich_with_dim(events, dim).collect()
+    }
+    assert len(got) == len(want)
+    assert set(got) == want

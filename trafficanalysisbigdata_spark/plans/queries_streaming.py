@@ -6,6 +6,7 @@ covered by tests/test_streaming.py."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming.windows import session_10m, sliding_2h_1h, tumbling_hourly
 from .registry import register
@@ -152,4 +153,37 @@ def st5_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             sum_exact("p_value", "attributed_value"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "st6_stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("streaming", "join", "enrich"),
+    tables=("events", "customer"),
+)
+def st6_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch contract of the stream-static enrichment join
+    (streaming/enrich.py): purchases enriched with the customer dimension
+    (broadcast, stateless in streaming — no watermarks, no join state),
+    rolled up per market segment. The streaming form is pinned to this
+    output under Trigger.AvailableNow in tests/test_streaming.py."""
+    from ..functions.numeric import sum_exact
+    from ..streaming.enrich import enrich_with_dim
+
+    enriched = enrich_with_dim(
+        spark.table("events").filter(F.col("event_type") == "purchase"),
+        spark.table("customer"),
+    )
+    return (
+        enriched.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_purchases"), sum_exact("value", "total_value"))
+        .orderBy("c_mktsegment")
     )
