@@ -30,9 +30,12 @@ Dial settings at 10× (each documented at its definition):
          ~n²·L/2^P, so +2 planes ÷4 the collision rate while OR-amplified
          recall stays high (L=16 tables).
 
-Usage: ``python scripts/scale_rehearsal.py [1x|10x]`` — one size per
+Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
-/tmp/spark_graft_rehearsal). Numbers land in BENCH_LOCAL.md.
+/tmp/spark_graft_rehearsal). ``joins`` runs the TPC-H-ish join/agg family at
+1× and 10× in one invocation (10× fact tables derived from sf0.1 by
+replicating lineitem/orders with offset keys — dims stay shared, so join
+fan-out semantics are preserved). Numbers land in BENCH_LOCAL.md.
 """
 
 from __future__ import annotations
@@ -160,6 +163,80 @@ def run_family(spark, doc_path: str, emb_path: str, n_docs: int, big: bool) -> d
     return out
 
 
+def run_joins_family(spark) -> None:
+    """Join/agg scaling: j1-shape star join and a1-shape agg at 1× (sf0.1)
+    and 10× (replicated facts, offset keys). Broadcast dims + partial aggs
+    mean cost should track the FACT side ~linearly."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.1"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    events = spark.read.parquet(f"{sf}/events.parquet")
+
+    def amplify(df, key_cols, copies=10):
+        parts = []
+        for i in range(copies):
+            part = df
+            for k in key_cols:
+                part = part.withColumn(k, F.col(k) + F.lit(i * 100_000_000))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    li10 = f"{BASE}/lineitem_10x"
+    or10 = f"{BASE}/orders_10x"
+    ev10 = f"{BASE}/events_10x"
+    if not os.path.exists(f"{li10}/_SUCCESS"):
+        amplify(li, ["l_orderkey"]).repartition(64).write.mode("overwrite").parquet(li10)
+        amplify(orders, ["o_orderkey"]).repartition(64).write.mode("overwrite").parquet(or10)
+        amplify(events, ["event_id"]).repartition(64).write.mode("overwrite").parquet(ev10)
+
+    def star_join(l, o):
+        return (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).alias("revenue")
+            )
+        )
+
+    def agg(e):
+        return e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+
+    cases = {
+        "j1_star_1x": lambda: star_join(li, orders),
+        "j1_star_10x": lambda: star_join(
+            spark.read.parquet(li10), spark.read.parquet(or10)
+        ),
+        "a1_agg_1x": lambda: agg(events),
+        "a1_agg_10x": lambda: agg(spark.read.parquet(ev10)),
+    }
+    results = {}
+    for name, fn in cases.items():
+        fn().write.format("noop").mode("overwrite").save()  # warmup
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        results[name] = round(min(ts), 2)
+        print(f"  {name}: {results[name]}s", file=sys.stderr, flush=True)
+    print("joins: " + json.dumps(results))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -176,6 +253,9 @@ def main() -> None:
 
     all_sizes = {"1x": N_SMALL, "10x": N_SMALL * SCALE}
     wanted = sys.argv[1:] or list(all_sizes)
+    if wanted == ["joins"]:
+        run_joins_family(spark)
+        return
     for tag in wanted:
         n = all_sizes[tag]
         dp, ep = f"{BASE}/docs_{tag}", f"{BASE}/emb_{tag}"
