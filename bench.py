@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+# Time-box: stop starting new passes once total measured time exceeds this —
+# under heavy host load 3 passes could outlive an external runner's timeout,
+# and one reported pass beats a killed run reporting nothing.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "300"))
 
 # Headline set: every operator family with its most expensive representative —
 # scans/aggs, multi-way shuffle joins, as-of, windows, wide/unpivot, top-k,
@@ -109,7 +113,16 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     failed: set[str] = set()
+    bench_t0 = time.perf_counter()
+    iters_run = 0
     for it in range(ITERS):
+        if it > 0 and time.perf_counter() - bench_t0 > BUDGET_S:
+            print(
+                f"bench: budget {BUDGET_S}s exhausted after {it} passes",
+                file=sys.stderr,
+            )
+            break
+        iters_run = it + 1
         for name in BENCH_QUERIES:
             spec = specs.get(name)
             if spec is None:
@@ -146,7 +159,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "iters": ITERS,
+                "iters": iters_run,
             }
         )
     )
