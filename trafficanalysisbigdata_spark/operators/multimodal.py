@@ -268,3 +268,40 @@ def audio_window_energy(
         .agg(F.sum(F.ascii("ch")).alias("energy"))
         .withColumn("is_silent", (F.col("energy") < silence_threshold).cast("int"))
     )
+
+
+PHASH_SCHEMA = "media_id bigint, modality string, phash int"
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Block-mean perceptual hash (aHash family) at the decode boundary:
+    the content bytes are split into 16 contiguous blocks; bit i is set iff
+    block i's mean exceeds the whole-asset mean. Near-duplicate assets
+    (re-encodes, small edits) collide on the hash, so near-dup detection is
+    a groupBy on a 16-bit key — dd3's no-pair-join shape for binary content.
+
+    The comparison is integer cross-multiplication (block_sum · n >
+    total · block_len), never a float mean — which makes the Python decode
+    side and the DuckDB oracle agree exactly, byte for byte.
+    """
+    pruned = media.select("media_id", "modality", "content")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                raw = bytes(content) if content is not None else b""
+                n = len(raw)
+                total = sum(raw)
+                ph = 0
+                for i in range(16):
+                    lo, hi = n * i // 16, n * (i + 1) // 16
+                    if hi > lo and sum(raw[lo:hi]) * n > total * (hi - lo):
+                        ph |= 1 << i
+                rows.append((int(mid), modality, ph))
+            yield pd.DataFrame(rows, columns=["media_id", "modality", "phash"])
+            rows = []
+
+    return pruned.mapInPandas(_batches, PHASH_SCHEMA)

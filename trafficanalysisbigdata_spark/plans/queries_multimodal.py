@@ -282,3 +282,63 @@ def mm7_stratified_media_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+_PHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN CAST(FLOOR(n*{i+1}/16.0) AS INT) > CAST(FLOOR(n*{i}/16.0) AS INT)"
+    f" AND list_sum(bytes[CAST(FLOOR(n*{i}/16.0) AS INT)+1 :"
+    f" CAST(FLOOR(n*{i+1}/16.0) AS INT)]) * n"
+    f" > total * (CAST(FLOOR(n*{i+1}/16.0) AS INT) - CAST(FLOOR(n*{i}/16.0) AS INT))"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
+
+@register(
+    "mm8_perceptual_neardup",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             {_MODALITY_SQL} AS modality,
+             length(text) AS n,
+             list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1)))
+               AS bytes
+      FROM documents
+    ), t AS (
+      SELECT media_id, modality, n, bytes, list_sum(bytes) AS total FROM m
+    ), p AS (
+      SELECT media_id, modality, CAST({_PHASH_BITS_SQL} AS INT) AS phash FROM t
+    ), g AS (
+      SELECT modality, phash, COUNT(*) AS cnt, MIN(media_id) AS keeper
+      FROM p GROUP BY modality, phash
+    )
+    SELECT modality, COUNT(*) AS n_groups, CAST(SUM(cnt) AS BIGINT) AS n_assets,
+           CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_neardup,
+           CAST(SUM(keeper) AS BIGINT) AS keeper_id_sum
+    FROM g GROUP BY modality ORDER BY modality
+    """,
+    tags=("multimodal", "dedup", "phash"),
+    tables=("documents",),
+)
+def mm8_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup groups per modality: a 16-bit block-mean hash
+    computed at the mapInPandas decode boundary (operators/multimodal.
+    media_phash), then dedup is a groupBy on the hash — dd3's
+    no-pair-join shape applied to binary content. Re-encodes and small
+    edits collide; the integer cross-multiplication threshold makes the
+    Python decode and the DuckDB oracle agree bit for bit."""
+    from ..operators.multimodal import media_phash
+
+    ph = media_phash(synthesize_media(spark.table("documents")))
+    groups = ph.groupBy("modality", "phash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("media_id").alias("keeper")
+    )
+    return (
+        groups.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("cnt").cast("bigint").alias("n_assets"),
+            (F.sum("cnt") - F.count(F.lit(1))).cast("bigint").alias("n_neardup"),
+            F.sum("keeper").cast("bigint").alias("keeper_id_sum"),
+        )
+        .orderBy("modality")
+    )
