@@ -200,3 +200,47 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(edges, max_iter=12)
     labels = {r.component for r in comp.collect()}
     assert labels == {0}
+
+
+def test_sorted_layout_footers_are_disjoint(spark, sf_dir, tmp_path):
+    """write_sorted's data-skipping claim, checked on disk: every parquet
+    file's ts min/max span is tight and the per-file spans are pairwise
+    disjoint — which is exactly what lets a range predicate prune whole
+    files. An unsorted write of the same rows has every file spanning
+    ~the full time range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from trafficanalysisbigdata_spark.io import load_table, write_sorted
+    from trafficanalysisbigdata_spark.session import prep
+
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "sorted")
+    write_sorted(ev, path, "ts", n_files=8)
+
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == "ts"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(col_idx).statistics
+            mins.append(stats.min)
+            maxs.append(stats.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 2
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file spans overlap: {hi1} > {lo2}"
+
+    # a sorted-layout read with a range filter returns the same rows
+    lo, hi = spans[1]
+    back = spark.read.parquet(path).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    orig = ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert back.count() == orig.count()

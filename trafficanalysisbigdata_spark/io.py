@@ -79,3 +79,21 @@ def write_partitioned(
         writer.option("path", path).bucketBy(n, *cols).sortBy(*cols).saveAsTable(table_name)
         return
     writer.save(path)
+
+
+def write_sorted(df: DataFrame, path: str, sort_col: str, n_files: int) -> None:
+    """Range-partitioned, sorted parquet layout — the zone-map/data-skipping
+    strategy for range-filtered scans (time-series facts above all): rows are
+    range-partitioned on ``sort_col`` into ``n_files`` disjoint spans and
+    sorted within each, so every file's parquet footer carries a TIGHT
+    min/max for the column. A later range predicate prunes whole files and
+    row groups at planning/scan time — bytes read scale with the predicate's
+    span, not the table. The same layout is what table formats call
+    clustering/Z-ordering in the single-column case.
+    """
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -307,3 +307,53 @@ def s12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "s13_sorted_layout_scan",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    WHERE ts >= (SELECT MIN(ts) FROM events) + INTERVAL 7 DAY
+      AND ts <  (SELECT MIN(ts) FROM events) + INTERVAL 10 DAY
+    GROUP BY d ORDER BY d
+    """,
+    tags=("sink", "layout", "data-skipping"),
+    tables=("events",),
+)
+def s13_sorted_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sorted-layout payoff as a query: events are rewritten
+    range-partitioned + sorted on ts (io.write_sorted — disjoint per-file
+    spans, tight footer min/max), then a 3-day window is aggregated FROM THE
+    SORTED LAYOUT. The range predicate reaches the parquet scan as a pushed
+    filter and prunes non-overlapping files/row groups — bytes read scale
+    with the window, not the table (the clustering/Z-order idea, single
+    column). The oracle runs the same window over the ORIGINAL table: the
+    layout must be a pure reorganization with zero row/value drift.
+    tests/test_operator_edges.py opens the written footers and asserts the
+    per-file spans are actually disjoint and tight."""
+    from ..io import write_sorted
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"s13_{tag}")
+    write_sorted(ev, path, "ts", n_files=8)
+    back = spark.read.parquet(path)
+    lo = ev.agg(F.min("ts").alias("t0"))
+    windowed = (
+        back.crossJoin(F.broadcast(lo))
+        .filter(
+            (F.col("ts") >= F.col("t0") + F.expr("INTERVAL 7 DAYS"))
+            & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 10 DAYS"))
+        )
+    )
+    return (
+        windowed.groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("d")
+    )
