@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "a15_quantiles",
     "tx11_repetition_filter",
     "sim6_ivf_indexed_topk",
+    "st6_stream_static_enrich",
+    "mm8_perceptual_neardup",
+    "s13_sorted_layout_scan",
 ]
 
 
