@@ -327,13 +327,17 @@ def s13_sorted_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sorted-layout payoff as a query: events are rewritten
     range-partitioned + sorted on ts (io.write_sorted — disjoint per-file
     spans, tight footer min/max), then a 3-day window is aggregated FROM THE
-    SORTED LAYOUT. The range predicate reaches the parquet scan as a pushed
-    filter and prunes non-overlapping files/row groups — bytes read scale
-    with the window, not the table (the clustering/Z-order idea, single
-    column). The oracle runs the same window over the ORIGINAL table: the
-    layout must be a pure reorganization with zero row/value drift.
-    tests/test_operator_edges.py opens the written footers and asserts the
-    per-file spans are actually disjoint and tight."""
+    SORTED LAYOUT. With LITERAL range bounds (the production shape — "last 3
+    days" as timestamps) the predicate pushes to the parquet scan and prunes
+    non-overlapping files/row groups against the tight footers, so bytes
+    read scale with the window, not the table (the clustering/Z-order idea,
+    single column); tests/test_operator_edges.py demonstrates exactly that
+    path and asserts the written spans are pairwise disjoint. THIS query
+    derives its window from min(ts) (a broadcast scalar) to stay
+    deterministic across fixtures — a join-derived bound does NOT push, so
+    it checks layout-roundtrip correctness, not pruning. The oracle runs the
+    same window over the ORIGINAL table: the layout must be a pure
+    reorganization with zero row/value drift."""
     from ..io import write_sorted
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
