@@ -213,7 +213,7 @@ def sim6_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cent AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS center
-      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
     cells AS (
       SELECT vid, cid, vec FROM (
         SELECT e.vec_id AS vid, c.cid, CAST(e.embedding AS DOUBLE[]) AS vec,
@@ -241,13 +241,20 @@ def sim6_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd5_semantic_centroid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine semantic dedup, IVF-blocked: a deterministic
-    hash-sampled coarse quantizer (8 centroids) partitions the corpus; a doc
-    survives iff no smaller-id doc in its cell is a near-dup (cos >= 0.30) —
-    greedy min-id retention. The quantizer doubles as the blocking key; with
-    n_centroids scaled to hold cell size constant (k ≈ n/cell_size), pair
-    volume stays LINEAR in the corpus — the cluster-structured sibling of
-    sim4's LSH banding. Fully SQL-expressible (unlike k-means IVF), so the
-    oracle checks quantizer, assignment, and collapse end to end."""
+    hash-sampled coarse quantizer (64 centroids) partitions the corpus; a
+    doc survives iff no smaller-id doc in its cell is a near-dup
+    (cos >= 0.30) — min-id retention (NOT transitive-greedy; see
+    operators/similarity.centroid_semantic_dedup). The quantizer doubles as
+    the blocking key, the cluster-structured sibling of sim4's LSH banding.
+
+    The k dial, measured: total cost = assignment (n·k broadcast cosines) +
+    pair verification (≈ n²/k), minimized at k ∝ √n. Raising k 8 → 64 on the
+    2k-vector fixture cut pair volume 8× yet left wall time flat (6.7 →
+    6.5-7.0s) — the fixture sits at the crossover (√2000 ≈ 45). At 100×
+    corpus, pair volume dominates and k must grow ~√n (k ≈ 450 at 200k
+    vectors), keeping both terms ~n^1.5 — far below the n² of all-pairs.
+    Fully SQL-expressible (unlike k-means IVF), so the oracle checks
+    quantizer, assignment, and collapse end to end."""
     return centroid_semantic_dedup(
-        spark.table("embeddings"), n_centroids=8, threshold=0.30
+        spark.table("embeddings"), n_centroids=64, threshold=0.30
     )
