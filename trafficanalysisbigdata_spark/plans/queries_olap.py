@@ -179,3 +179,56 @@ def olap5_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ops1_join_key_skew_profile",
+    oracle="""
+    WITH freq AS (
+      SELECT o_custkey, COUNT(*) AS f FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(f) AS BIGINT) AS n_rows,
+             CAST(MAX(f) AS BIGINT) AS max_freq,
+             ROUND(AVG(CAST(f AS DOUBLE)), 6) AS mean_freq,
+             CAST(quantile_disc(f, 0.99) AS BIGINT) AS p99_freq
+      FROM freq
+    )
+    SELECT n_keys, n_rows, max_freq, mean_freq, p99_freq,
+           ROUND(max_freq / mean_freq, 4) AS skew_ratio,
+           ROUND(CAST(max_freq AS DOUBLE) / n_rows, 6) AS top1_share
+    FROM stats
+    """,
+    tags=("ops", "skew", "diagnostics"),
+    tables=("orders",),
+)
+def ops1_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the diagnostic that decides a join strategy
+    BEFORE it burns a cluster: key cardinality, hottest-key frequency vs the
+    mean (skew_ratio is what makes one reducer run max/mean times longer
+    than average under hash partitioning), p99 frequency, and the hottest
+    key's share of all rows. skew_ratio ≳ 10 ⇒ salt (j7's operator) or rely
+    on AQE skew-split; top1_share ≳ 1/shuffle_partitions ⇒ one straggler
+    task regardless of partition count. One groupBy + a one-row aggregate —
+    the profile itself costs a single shuffle of (key, count) pairs.
+    percentile_disc mirrors DuckDB's quantile_disc exactly (order statistic,
+    no interpolation)."""
+    freq = spark.table("orders").groupBy("o_custkey").agg(F.count(F.lit(1)).alias("f"))
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").cast("bigint").alias("n_rows"),
+        F.max("f").cast("bigint").alias("max_freq"),
+        F.round(F.avg(F.col("f").cast("double")), 6).alias("mean_freq"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY f)")
+        .cast("bigint")
+        .alias("p99_freq"),
+    )
+    return stats.select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "mean_freq",
+        "p99_freq",
+        F.round(F.col("max_freq") / F.col("mean_freq"), 4).alias("skew_ratio"),
+        F.round(F.col("max_freq").cast("double") / F.col("n_rows"), 6).alias("top1_share"),
+    )
