@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "st6_stream_static_enrich",
     "mm8_perceptual_neardup",
     "s13_sorted_layout_scan",
+    "ops1_join_key_skew_profile",
 ]
 
 
