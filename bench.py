@@ -140,8 +140,11 @@ def main() -> None:
             try:
                 spec.run(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as e:  # keep the JSON line emitting no matter what
-                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-                failed.add(name)
+                print(f"bench: {name} FAILED (pass {it + 1}): {e}", file=sys.stderr)
+                # a transient later-pass failure must not erase a valid
+                # earlier measurement; only mark failed if NO pass succeeded
+                if not samples[name]:
+                    failed.add(name)
                 continue
             samples[name].append(time.perf_counter() - t0)
 

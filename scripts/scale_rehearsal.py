@@ -111,28 +111,16 @@ def run_family(spark, doc_path: str, emb_path: str, n_docs: int, big: bool) -> d
     n_planes = 6 if big else 4  # sim dial: see module docstring
     n_centroids = max(8, n_docs // 500)  # dd5 dial: k ≈ n/cell_size
 
+    # dd2/dd4 run THE SAME pipeline operators the registered queries use
+    # (dedup.minhash_lsh_scores / ngram_jaccard_scores) — the rehearsal
+    # measures the shipped algorithm, not a hand-copied variant.
     def dd2():
-        tok = dd.doc_token_sets(docs)
-        sig = dd.minhash_signatures(tok, num_perm=8)
-        pairs = dd.lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2, max_bucket=256)
-        return dd.jaccard_scores(pairs, dd.doc_token_arrays(docs)).filter(
+        return dd.minhash_lsh_scores(docs, max_bucket=256).filter(
             F.col("jaccard") >= 0.5
         ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("jaccard"), 2).alias("s"))
 
     def dd4():
-        total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        sh = dd.df_capped(dd.doc_shingle_sets(docs), total, max_df_frac=0.05).join(
-            docs.select("doc_id", "n_chars"), "doc_id"
-        )
-        a = sh.select(F.col("doc_id").alias("doc1"), F.col("n_chars").alias("nc1"), "token")
-        b = sh.select(F.col("doc_id").alias("doc2"), F.col("n_chars").alias("nc2"), "token")
-        pairs = (
-            a.join(b, ["token"])
-            .filter((F.col("doc1") < F.col("doc2")) & (F.abs(F.col("nc1") - F.col("nc2")) <= 20))
-            .select("doc1", "doc2")
-            .distinct()
-        )
-        return dd.jaccard_scores(pairs, dd.doc_shingle_arrays(docs)).filter(
+        return dd.ngram_jaccard_scores(docs, max_df_frac=0.05, max_df_abs=256).filter(
             F.col("jaccard") >= 0.25
         ).agg(F.count(F.lit(1)).alias("n"))
 

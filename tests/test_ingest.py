@@ -369,3 +369,28 @@ def test_paginated_empty_page_and_fetcher_option(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0]["requestid"] == "1"
+
+
+def test_rate_limit_spans_fetcher_instances():
+    """The DataSource builds a FRESH fetcher per partition and each partition
+    fetches one page — so spacing must live at process level (rate_key), not
+    on the instance, or the limit is a silent no-op."""
+    from trafficanalysisbigdata_spark.sources import paginated as P
+
+    now = {"t": 100.0}
+    slept = []
+
+    def sleep(s):
+        slept.append(round(s, 6))
+        now["t"] += s
+
+    key = "test-rate-group-xyz"
+    P._RATE_STATE.pop(key, None)
+    mk = lambda: P.RetryingFetcher(  # noqa: E731
+        lambda a: [], retries=0, min_interval_s=2.0,
+        sleep=sleep, clock=lambda: now["t"], rate_key=key,
+    )
+    mk()("p0")  # first instance, first call: no wait
+    mk()("p1")  # NEW instance, immediate call: must still wait
+    assert slept == [2.0]
+    P._RATE_STATE.pop(key, None)

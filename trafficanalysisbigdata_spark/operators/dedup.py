@@ -77,6 +77,18 @@ def minhash_signatures(tok: DataFrame, num_perm: int = 8) -> DataFrame:
     return tok.groupBy("doc_id").agg(*aggs)
 
 
+def capped_groups(df: DataFrame, keys: list[str], max_n: int) -> DataFrame:
+    """Drop rows whose ``keys`` group exceeds ``max_n`` members — the shared
+    absolute-cap idiom behind every LSH/blocking skew guard in this engine
+    (MinHash band buckets here, embedding-LSH table buckets in
+    ``similarity.table_bucket_capped``). One partial+final count per group
+    plus an equi-join on the group keys; the count side is skinny (keys +
+    one long) and broadcastable when group cardinality is bounded."""
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__group_n"))
+    keep = sizes.filter(F.col("__group_n") <= max_n).select(*keys)
+    return df.join(keep, keys)
+
+
 def bucket_capped(bands: DataFrame, max_bucket: int) -> DataFrame:
     """Drop (band, bucket) groups larger than ``max_bucket`` — the hot-bucket
     skew guard for LSH, the band-bucket analogue of ``df_capped``.
@@ -91,9 +103,7 @@ def bucket_capped(bands: DataFrame, max_bucket: int) -> DataFrame:
     discriminative buckets in other bands (OR-amplification), so recall decays
     gracefully; the cap is the documented recall/cost dial.
     """
-    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
-    keep = sizes.filter(F.col("bucket_n") <= max_bucket).select("band", "bucket")
-    return bands.join(keep, ["band", "bucket"])
+    return capped_groups(bands, ["band", "bucket"], max_bucket)
 
 
 def lsh_candidate_pairs(
@@ -205,6 +215,57 @@ def df_capped(
         .select("token")
     )
     return postings.join(keep, "token")
+
+
+def minhash_lsh_scores(
+    docs: DataFrame,
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """The full MinHash-LSH near-dup pipeline as ONE reusable operator:
+    token sets → signatures → (capped) banded candidates → exact Jaccard.
+    Returns (doc1, doc2, jaccard) for every candidate pair. The dd2 query,
+    the dd6 component edges, and the scale rehearsal all consume THIS
+    function, so a pipeline change propagates everywhere the numbers are
+    cited."""
+    tok = doc_token_sets(docs, text_col)
+    sig = minhash_signatures(tok, num_perm=num_perm)
+    pairs = lsh_candidate_pairs(
+        sig, num_perm=num_perm, rows_per_band=rows_per_band, max_bucket=max_bucket
+    )
+    return jaccard_scores(pairs, doc_token_arrays(docs, text_col))
+
+
+def ngram_jaccard_scores(
+    docs: DataFrame,
+    max_df_frac: float = 0.05,
+    max_df_abs: int = 256,
+    max_delta_chars: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The full n-gram-Jaccard near-dup pipeline as ONE reusable operator:
+    bigram postings → DF cap (min(frac·n, abs)) → shared-shingle candidates
+    blocked by |Δn_chars| → exact Jaccard over the FULL shingle sets.
+    Returns (doc1, doc2, jaccard). Shared by the dd4 query and the scale
+    rehearsal (the source of the 45×-at-10× fraction-only-cap measurement)."""
+    docs_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    sh = df_capped(
+        doc_shingle_sets(docs, text_col), docs_total, max_df_frac, max_df_abs
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("n_chars").alias("nc1"), "token")
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("n_chars").alias("nc2"), "token")
+    pairs = (
+        a.join(b, ["token"])
+        .filter(
+            (F.col("doc1") < F.col("doc2"))
+            & (F.abs(F.col("nc1") - F.col("nc2")) <= max_delta_chars)
+        )
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    return jaccard_scores(pairs, doc_shingle_arrays(docs, text_col))
 
 
 def simhash16(tok: DataFrame) -> DataFrame:

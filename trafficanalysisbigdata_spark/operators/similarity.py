@@ -216,14 +216,15 @@ def lsh_topk(
 
 def table_bucket_capped(buckets: DataFrame, max_bucket: int) -> DataFrame:
     """Drop (t, bucket) groups larger than ``max_bucket`` — the embedding-LSH
-    twin of ``dedup.bucket_capped``. A dense embedding region (boilerplate
-    pages, template images) collides a fixed sign pattern across tables;
-    pair-joining that bucket is O(bucket²) on one shuffle key. The absolute
-    cap bounds per-bucket work at any corpus size; raising ``n_planes``
-    (purer buckets) is the recall-preserving dial to apply alongside it."""
-    sizes = buckets.groupBy("t", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
-    keep = sizes.filter(F.col("bucket_n") <= max_bucket).select("t", "bucket")
-    return buckets.join(keep, ["t", "bucket"])
+    twin of ``dedup.bucket_capped`` (same ``capped_groups`` idiom, different
+    keys). A dense embedding region (boilerplate pages, template images)
+    collides a fixed sign pattern across tables; pair-joining that bucket is
+    O(bucket²) on one shuffle key. The absolute cap bounds per-bucket work
+    at any corpus size; raising ``n_planes`` (purer buckets) is the
+    recall-preserving dial to apply alongside it."""
+    from .dedup import capped_groups
+
+    return capped_groups(buckets, ["t", "bucket"], max_bucket)
 
 
 def lsh_neardup_pairs(

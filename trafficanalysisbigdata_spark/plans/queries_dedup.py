@@ -9,15 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    df_capped,
-    doc_shingle_arrays,
-    doc_shingle_sets,
-    doc_token_arrays,
     doc_token_sets,
     exact_dedup_summary,
-    jaccard_scores,
-    lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_lsh_scores,
+    ngram_jaccard_scores,
     simhash16,
 )
 from .registry import register
@@ -127,11 +122,7 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in that band, hence at least one common token — so counting scored pairs
     equals counting candidate pairs.
     """
-    docs = spark.table("documents")
-    tok = doc_token_sets(docs)
-    sig = minhash_signatures(tok, num_perm=8)
-    pairs = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2, max_bucket=DD2_MAX_BUCKET)
-    scores = jaccard_scores(pairs, doc_token_arrays(docs))
+    scores = minhash_lsh_scores(spark.table("documents"), max_bucket=DD2_MAX_BUCKET)
     is_dup = F.col("jaccard") >= 0.5
     return scores.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
@@ -232,19 +223,7 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ sf0.1) 0.05·n < 256, so the absolute bound changes nothing there.
     Verification is per-pair ``array_intersect`` — no pairs×shingles explode."""
     docs = spark.table("documents").select("doc_id", "n_chars", "text")
-    docs_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    sh = df_capped(doc_shingle_sets(docs), docs_total, max_df_frac=0.05).join(
-        docs.select("doc_id", "n_chars"), "doc_id"
-    )
-    a = sh.select(F.col("doc_id").alias("doc1"), F.col("n_chars").alias("nc1"), "token")
-    b = sh.select(F.col("doc_id").alias("doc2"), F.col("n_chars").alias("nc2"), "token")
-    pairs = (
-        a.join(b, ["token"])
-        .filter((F.col("doc1") < F.col("doc2")) & (F.abs(F.col("nc1") - F.col("nc2")) <= 20))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    verified = jaccard_scores(pairs, doc_shingle_arrays(docs)).filter(
+    verified = ngram_jaccard_scores(docs, max_df_frac=0.05, max_df_abs=256).filter(
         F.col("jaccard") >= 0.25
     )
     return verified.agg(
@@ -293,13 +272,9 @@ def dd6_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an exact relational oracle — the fixpoint is engine-independent."""
     from ..operators.components import connected_components
 
-    docs = spark.table("documents")
-    tok = doc_token_sets(docs)
-    sig = minhash_signatures(tok, num_perm=8)
-    pairs = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2, max_bucket=DD2_MAX_BUCKET)
-    edges = jaccard_scores(pairs, doc_token_arrays(docs)).filter(
-        F.col("jaccard") >= 0.5
-    ).select("doc1", "doc2")
+    edges = minhash_lsh_scores(
+        spark.table("documents"), max_bucket=DD2_MAX_BUCKET
+    ).filter(F.col("jaccard") >= 0.5).select("doc1", "doc2")
     comp = connected_components(edges)
     comps = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
     return (

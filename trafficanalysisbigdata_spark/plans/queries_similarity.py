@@ -200,7 +200,16 @@ def sim6_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import build_ivf_index, ivf_topk_indexed
 
     emb = spark.table("embeddings")
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # Key the cache on the SOURCE DATA, not just its path: a regenerated
+    # fixture at the same path must not serve a stale index. mtime+size of
+    # the parquet file is a cheap content fingerprint.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    key = hashlib.md5(f"{sf_dir}|{stamp}".encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
     if not os.path.exists(os.path.join(index_dir, "assignments", "_SUCCESS")):
         build_ivf_index(emb, index_dir, n_clusters=16)

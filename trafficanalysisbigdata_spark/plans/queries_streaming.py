@@ -162,7 +162,7 @@ def st5_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT c_mktsegment,
            COUNT(*) AS n_purchases,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events JOIN customer ON user_id = c_custkey
+    FROM events LEFT JOIN customer ON user_id = c_custkey
     WHERE event_type = 'purchase'
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -173,8 +173,11 @@ def st6_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch contract of the stream-static enrichment join
     (streaming/enrich.py): purchases enriched with the customer dimension
     (broadcast, stateless in streaming — no watermarks, no join state),
-    rolled up per market segment. The streaming form is pinned to this
-    output under Trigger.AvailableNow in tests/test_streaming.py."""
+    rolled up per market segment. Enrichment is a LEFT join on both sides —
+    a user_id absent from the dimension forms a NULL-segment group rather
+    than silently dropping rows (and the oracle mirrors that, so parity
+    holds under any fixture). The streaming form is pinned to this output
+    under Trigger.AvailableNow in tests/test_streaming.py."""
     from ..functions.numeric import sum_exact
     from ..streaming.enrich import enrich_with_dim
 

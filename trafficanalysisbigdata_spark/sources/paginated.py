@@ -62,16 +62,27 @@ class FetchError(RuntimeError):
     """A page fetch failed after exhausting its retry budget."""
 
 
+# Per-process fetch-start times by rate group. Spacing state must OUTLIVE one
+# RetryingFetcher: the DataSource builds a fresh fetcher per partition and a
+# partition fetches exactly one page, so instance-local state would make the
+# rate limit a silent no-op. Keyed module state spans the sequential tasks a
+# reused Python worker executes — per-worker spacing = min_interval_s, so the
+# aggregate rate against the API is n_parallel_workers / min_interval_s.
+_RATE_STATE: dict[str, float] = {}
+
+
 class RetryingFetcher:
     """Wrap a fetcher with retry + rate-limit — the operational half of the
     reference's paginated-API contract its driver loop never had.
 
     * ``retries``: attempts after the first failure; exponential backoff
       ``backoff_s * 2**attempt`` between tries.
-    * ``min_interval_s``: minimum spacing between fetch *starts* (per task —
-      each Spark task fetches its own pages, so with N parallel tasks the
-      aggregate rate is N/min_interval; size accordingly for a rate-limited
-      API).
+    * ``min_interval_s``: minimum spacing between fetch *starts*. With
+      ``rate_key`` set the spacing state is PER WORKER PROCESS (module
+      level), so it holds across the one-page-per-task DataSource pattern;
+      with N parallel workers the aggregate rate is N/min_interval — size
+      accordingly for a rate-limited API. Without ``rate_key`` the state is
+      per instance (driver-side multi-page loops, unit tests).
     * ``sleep``/``clock`` are injectable for deterministic tests.
     """
 
@@ -83,6 +94,7 @@ class RetryingFetcher:
         min_interval_s: float = 0.0,
         sleep: Callable[[float], None] = time.sleep,
         clock: Callable[[], float] = time.monotonic,
+        rate_key: str | None = None,
     ) -> None:
         self.fetch = fetch
         self.retries = retries
@@ -90,14 +102,27 @@ class RetryingFetcher:
         self.min_interval_s = min_interval_s
         self.sleep = sleep
         self.clock = clock
+        self.rate_key = rate_key
         self._last_start: float | None = None
 
+    def _get_last(self) -> float | None:
+        if self.rate_key is not None:
+            return _RATE_STATE.get(self.rate_key)
+        return self._last_start
+
+    def _set_last(self, t: float) -> None:
+        if self.rate_key is not None:
+            _RATE_STATE[self.rate_key] = t
+        else:
+            self._last_start = t
+
     def __call__(self, address: str) -> list[dict]:
-        if self.min_interval_s and self._last_start is not None:
-            wait = self._last_start + self.min_interval_s - self.clock()
+        last = self._get_last()
+        if self.min_interval_s and last is not None:
+            wait = last + self.min_interval_s - self.clock()
             if wait > 0:
                 self.sleep(wait)
-        self._last_start = self.clock()
+        self._set_last(self.clock())
         err: Exception | None = None
         for attempt in range(self.retries + 1):
             try:
@@ -128,6 +153,8 @@ def _resolve_fetcher(options: dict) -> PageFetcher:
             retries=retries,
             backoff_s=float(options.get("backoff_s", 0.5)),
             min_interval_s=min_interval_s,
+            # per-process spacing across this source's one-page tasks
+            rate_key=options.get("path", "paginated_json"),
         )
     return base
 
