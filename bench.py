@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "mm8_perceptual_neardup",
     "s13_sorted_layout_scan",
     "ops1_join_key_skew_profile",
+    # round-6 additions: the last unbenched family representatives
+    "set1_cohort_algebra",
+    "sql2_exists_big_spenders",
+    "w7_range_frame_weekly",
+    "mm5_resize_summary",
 ]
 
 
@@ -116,7 +121,6 @@ def main() -> None:
     warm.write.format("noop").mode("overwrite").save()
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
-    failed: set[str] = set()
     bench_t0 = time.perf_counter()
     iters_run = 0
     for it in range(ITERS):
@@ -132,24 +136,20 @@ def main() -> None:
             if spec is None:
                 if it == 0:
                     print(f"bench: unknown query {name!r}, skipping", file=sys.stderr)
-                failed.add(name)
-                continue
-            if name in failed:
                 continue
             t0 = time.perf_counter()
             try:
                 spec.run(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as e:  # keep the JSON line emitting no matter what
+                # A transient failure on ANY pass must not doom the query:
+                # later passes still run and can produce a sample. -1 is
+                # reported only when no pass ever succeeded (samples empty).
                 print(f"bench: {name} FAILED (pass {it + 1}): {e}", file=sys.stderr)
-                # a transient later-pass failure must not erase a valid
-                # earlier measurement; only mark failed if NO pass succeeded
-                if not samples[name]:
-                    failed.add(name)
                 continue
             samples[name].append(time.perf_counter() - t0)
 
     times = {
-        name: (round(statistics.median(s), 3) if s and name not in failed else -1.0)
+        name: (round(statistics.median(s), 3) if s else -1.0)
         for name, s in samples.items()
     }
     ok = {k: v for k, v in times.items() if v >= 0}

@@ -25,6 +25,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of currently-persisted RDDs (localCheckpoint stores its blocks as
+    a persisted RDD; this is how we find — and later free — them)."""
+    try:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    except Exception:  # noqa: BLE001 — introspection only; degrade to no-op
+        return set()
+
+
+def _unpersist_rdds(sc, ids: set[int]) -> None:
+    """Free the cached blocks behind previously-checkpointed rounds. Without
+    this, every round of every dedup-closure run leaks one label set for the
+    session lifetime (a real memory leak in a long-lived driver). Best-effort:
+    failure just means the old behavior (blocks freed at session end)."""
+    if not ids:
+        return
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def symmetrized_edges(pairs: DataFrame, src: str = "doc1", dst: str = "doc2") -> DataFrame:
     """Undirected edge list (v, w): each input pair in both directions."""
     a = pairs.select(F.col(src).alias("v"), F.col(dst).alias("w"))
@@ -37,7 +63,17 @@ def connected_components(
 ) -> DataFrame:
     """(v, component) for every vertex in ``pairs``; component = min vertex
     id reachable from v. Converges in ≤ max_iter rounds (raises if not —
-    silent non-convergence would return wrong clusters)."""
+    silent non-convergence would return wrong clusters).
+
+    Convergence is decided from the round's OWN output: ``old_l`` rides
+    along through the neighbor-min and pointer-jump selects, and
+    ``max(l != old_l)`` over the just-checkpointed result replaces the
+    former separate labels⋈jumped count — one cheap scan over cached blocks
+    instead of an extra shuffle join + count action per round. Each round
+    also unpersists the previous round's checkpointed blocks, so peak cached
+    state is one label set + the edge list, not O(rounds)."""
+    sc = pairs.sparkSession.sparkContext
+    pre = _persistent_rdd_ids(sc)
     edges = symmetrized_edges(pairs, src, dst).localCheckpoint(eager=True)
     labels = (
         edges.groupBy("v")
@@ -45,32 +81,44 @@ def connected_components(
         .select("v", F.least(F.col("v"), F.col("nbr_min")).alias("l"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels.select(F.col("v").alias("w"), F.col("l").alias("lw")), "w")
-            .groupBy("v")
-            .agg(F.min("lw").alias("nl"))
-        )
-        stepped = labels.join(nbr, "v", "left").select(
-            "v", F.least("l", F.coalesce("nl", "l")).alias("l")
-        )
-        # pointer jump: follow the label chain one hop
-        jumped = (
-            stepped.join(
-                stepped.select(F.col("v").alias("l"), F.col("l").alias("ll")),
-                "l",
-                "left",
+    setup_ids = _persistent_rdd_ids(sc) - pre
+    round_ids: set[int] = set()
+    try:
+        for _ in range(max_iter):
+            before = _persistent_rdd_ids(sc)
+            nbr = (
+                edges.join(labels.select(F.col("v").alias("w"), F.col("l").alias("lw")), "w")
+                .groupBy("v")
+                .agg(F.min("lw").alias("nl"))
             )
-            .select("v", F.least("l", F.coalesce("ll", "l")).alias("l"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            labels.withColumnRenamed("l", "old")
-            .join(jumped, "v")
-            .filter(F.col("old") != F.col("l"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            return labels.select("v", F.col("l").alias("component"))
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+            stepped = labels.join(nbr, "v", "left").select(
+                "v",
+                F.col("l").alias("old_l"),
+                F.least("l", F.coalesce("nl", "l")).alias("l"),
+            )
+            # pointer jump: follow the label chain one hop
+            jumped = (
+                stepped.join(
+                    stepped.select(F.col("v").alias("l"), F.col("l").alias("ll")),
+                    "l",
+                    "left",
+                )
+                .select("v", "old_l", F.least("l", F.coalesce("ll", "l")).alias("l"))
+                .localCheckpoint(eager=True)
+            )
+            new_ids = _persistent_rdd_ids(sc) - before
+            changed = jumped.agg(
+                F.max((F.col("l") != F.col("old_l")).cast("int")).alias("c")
+            ).first()["c"]
+            # the previous round's labels are no longer reachable — free them
+            # (never the ids backing `jumped`, which the caller may consume)
+            _unpersist_rdds(sc, round_ids - new_ids)
+            round_ids = new_ids
+            labels = jumped.drop("old_l")
+            if not changed:
+                return labels.select("v", F.col("l").alias("component"))
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        # edges + round-0 labels back only intermediate rounds, never the
+        # returned DataFrame (its lineage stops at its own checkpoint)
+        _unpersist_rdds(sc, setup_ids - round_ids)

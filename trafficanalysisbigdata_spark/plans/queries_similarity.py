@@ -211,7 +211,15 @@ def sim6_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         stamp = "nostat"
     key = hashlib.md5(f"{sf_dir}|{stamp}".encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
-    if not os.path.exists(os.path.join(index_dir, "assignments", "_SUCCESS")):
+    # Gate on the LAST-written artifact: build_ivf_index writes assignments
+    # then centroids, so a crash between the two leaves assignments/_SUCCESS
+    # present but no centroids — gating on centroids/_SUCCESS (and keeping
+    # the assignments check for belt-and-braces) means a torn build is
+    # simply rebuilt instead of poisoning every later run.
+    complete = os.path.exists(
+        os.path.join(index_dir, "centroids", "_SUCCESS")
+    ) and os.path.exists(os.path.join(index_dir, "assignments", "_SUCCESS"))
+    if not complete:
         build_ivf_index(emb, index_dir, n_clusters=16)
     probes = emb.filter(F.col("vec_id") < 10)
     return ivf_topk_indexed(spark, index_dir, probes, k=5, n_probe=6)

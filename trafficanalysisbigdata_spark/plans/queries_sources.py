@@ -342,7 +342,11 @@ def s13_sorted_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"s13_{tag}")
+    # Per-process path: bench and pytest can run concurrently against the
+    # same fixture, and a shared overwrite-mode directory would let one
+    # process clobber the layout while the other reads it (flaky
+    # FileNotFound / row drift). Same keying idea as sim6's index dir.
+    path = os.path.join(tempfile.gettempdir(), f"s13_{tag}_{os.getpid()}")
     write_sorted(ev, path, "ts", n_files=8)
     back = spark.read.parquet(path)
     lo = ev.agg(F.min("ts").alias("t0"))

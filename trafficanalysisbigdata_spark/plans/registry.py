@@ -130,9 +130,89 @@ def load_all() -> dict[str, QuerySpec]:
     return REGISTRY
 
 
+# The driver's correctness harness samples the FIRST 50 entries of
+# ``queries()`` in iteration order, so ordering is a coverage decision, not
+# cosmetics. This explicit window holds the 43 oracle-bearing queries that
+# had never been driver-sampled through round 5 (windows tail, set/sql,
+# text, OLAP, dedup, pipeline, similarity, geo, multimodal, streaming — the
+# whole LLM-pipeline surface, previously green only in the local DuckDB
+# mirror), plus a14b (oracle-bearing as of round 6) and six
+# recently-modified flagship dedup/similarity queries worth re-confirming.
+# Everything else follows in registration order; the no-oracle queries
+# (ml1–ml8, sim5, sim6) sort last so the window is 100% oracle-checkable.
+_DRIVER_WINDOW = (
+    "w6_daily_distribution_ranks",
+    "w7_range_frame_weekly",
+    "w8_forward_fill",
+    "set1_cohort_algebra",
+    "sql1_pricing_summary",
+    "sql2_exists_big_spenders",
+    "tx6_tfidf_top_terms",
+    "tx7_token_entropy_by_lang",
+    "tx8_bpe_token_budget",
+    "tx9_boilerplate_share",
+    "tx10_bigram_logprob",
+    "tx11_repetition_filter",
+    "olap1_rollup_region_nation",
+    "olap2_cube_flag_status",
+    "olap3_grouping_sets",
+    "olap4_approx_vs_exact_distinct",
+    "olap5_share_of_total",
+    "ops1_join_key_skew_profile",
+    "dd5_semantic_centroid_dedup",
+    "dd6_dedup_components",
+    "pipe1_pretrain_funnel",
+    "pipe2_training_mix",
+    "pipe3_multisignal_dedup",
+    "pipe4_hash_sample",
+    "pipe5_decontaminate",
+    "pipe6_sequence_pack",
+    "sim3_ann_topk_lsh",
+    "sim4_lsh_neardup_pairs",
+    "f18_reproject_epsg2263",
+    "mm1_media_dedup",
+    "mm2_media_stats_by_modality",
+    "mm3_media_features",
+    "mm4_frame_sample",
+    "mm5_resize_summary",
+    "mm6_audio_window_energy",
+    "mm7_stratified_media_sample",
+    "mm8_perceptual_neardup",
+    "st1_tumbling_hourly",
+    "st2_sliding_2h_windows",
+    "st3_session_windows",
+    "st4_first_event_per_key",
+    "st5_purchase_view_attribution",
+    "st6_stream_static_enrich",
+    "a14b_hll_estimate_audit",
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh",
+    "dd3_simhash_groups",
+    "dd4_ngram_jaccard",
+    "sim1_ann_topk_bruteforce",
+    "sim2_embedding_neardup_pairs",
+)
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    """Registry in driver-facing order: the explicit 50-slot window first,
+    then remaining oracle-bearing queries in registration order, no-oracle
+    queries last."""
+    specs = load_all()
+    window = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
+    pos = {n: i for i, n in enumerate(specs)}
+
+    def key(name: str) -> tuple[int, int, int]:
+        in_window = window.get(name, len(window))
+        has_oracle = 0 if specs[name].oracle else 1
+        return (in_window, has_oracle, pos[name])
+
+    return {name: specs[name] for name in sorted(specs, key=key)}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.run for name, spec in load_all().items()}
+    return {name: spec.run for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in load_all().items() if spec.oracle}
+    return {name: spec.oracle for name, spec in _ordered().items() if spec.oracle}
