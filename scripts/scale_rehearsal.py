@@ -30,7 +30,7 @@ Dial settings at 10× (each documented at its definition):
          ~n²·L/2^P, so +2 planes ÷4 the collision rate while OR-amplified
          recall stays high (L=16 tables).
 
-Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins]`` — one size per
+Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
 /tmp/spark_graft_rehearsal). ``joins`` runs the TPC-H-ish join/agg family at
 1× and 10× in one invocation (10× fact tables derived from sf0.1 by
@@ -151,6 +151,101 @@ def run_family(spark, doc_path: str, emb_path: str, n_docs: int, big: bool) -> d
     return out
 
 
+def run_text_family(spark, doc_path: str, check: bool = False) -> dict:
+    """Text-analysis scaling (VERDICT r5 #7): tx6 TF-IDF, tx7 entropy and
+    tx9 boilerplate at rehearsal scale, measured through the REGISTERED
+    query functions (spec.fn over a temp view — the shipped code path), plus
+    tx9's documented 100×-skew alternative (compute the shingle-DF table
+    with a map-side-combinable groupBy, then join it back) so the
+    window-vs-DF-table advice in the tx9 docstring carries measured numbers
+    at both sizes. ``check=True`` additionally asserts the alternative is
+    bit-identical to the shipped window formulation."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.functions.text import token_bigrams
+    from trafficanalysisbigdata_spark.plans.registry import load_all
+    from trafficanalysisbigdata_spark.session import prep
+
+    prep(spark)
+    specs = load_all()
+    docs = (
+        spark.read.parquet(doc_path)
+        # rehearsal corpus lacks the fixture's source/lang dims; derive a
+        # deterministic 4-way source split so the rollups have real groups
+        .withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
+        )
+        .withColumn("lang", F.lit("en"))
+    )
+    docs.createOrReplaceTempView("documents")
+
+    def tx9_df_broadcast_alt():
+        pairs = docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(token_bigrams(F.col("text")))).alias("shingle"),
+        )
+        dftab = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+        n_corpus = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+        scored = (
+            pairs.join(dftab, "shingle")
+            .crossJoin(F.broadcast(n_corpus))
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_sh"),
+                F.sum(
+                    (F.col("n_docs") > 0.05 * F.col("n_corpus")).cast("int")
+                ).alias("n_bp"),
+            )
+        )
+        return (
+            scored.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs_scored"),
+                F.round(F.avg(F.col("n_bp").cast("double") / F.col("n_sh")), 6).alias(
+                    "avg_bp_share"
+                ),
+                F.sum((F.col("n_bp") > 0.5 * F.col("n_sh")).cast("int"))
+                .cast("bigint")
+                .alias("n_flagged"),
+            )
+            .orderBy("source")
+        )
+
+    if check:
+        shipped = specs["tx9_boilerplate_share"].fn(spark, doc_path).collect()
+        alt = tx9_df_broadcast_alt().collect()
+        assert shipped == alt, f"tx9 alternative diverged:\n{shipped}\n{alt}"
+
+    cases = {
+        "tx6_tfidf": lambda: specs["tx6_tfidf_top_terms"].fn(spark, doc_path),
+        "tx7_entropy": lambda: specs["tx7_token_entropy_by_lang"].fn(spark, doc_path),
+        "tx9_window": lambda: specs["tx9_boilerplate_share"].fn(spark, doc_path),
+        "tx9_df_broadcast_alt": tx9_df_broadcast_alt,
+    }
+    out = {}
+    for name, fn in cases.items():
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+        print(f"  {name}: {out[name]}s", file=sys.stderr, flush=True)
+    return out
+
+
+def run_text_mode(spark) -> None:
+    for tag, n in {"1x": N_SMALL, "10x": N_SMALL * SCALE}.items():
+        dp = f"{BASE}/docs_{tag}"
+        if not os.path.exists(f"{dp}/_SUCCESS"):
+            gen_documents(spark, n, dp)
+        print(f"--- text {tag} ({n} docs) ---", file=sys.stderr)
+        # equality check once at 1×; warmup pass, then min of 3 (host noise
+        # only ever adds time — see BENCH_LOCAL.md)
+        run_text_family(spark, dp, check=(tag == "1x"))
+        passes = [run_text_family(spark, dp) for _ in range(3)]
+        result = {op: min(p[op] for p in passes) for op in passes[0]}
+        print(f"text_{tag}: " + json.dumps(result))
+
+
 def run_joins_family(spark) -> None:
     """Join/agg scaling: j1-shape star join and a1-shape agg at 1× (sf0.1)
     and 10× (replicated facts, offset keys). Broadcast dims + partial aggs
@@ -243,6 +338,9 @@ def main() -> None:
     wanted = sys.argv[1:] or list(all_sizes)
     if wanted == ["joins"]:
         run_joins_family(spark)
+        return
+    if wanted == ["text"]:
+        run_text_mode(spark)
         return
     for tag in wanted:
         n = all_sizes[tag]

@@ -130,7 +130,16 @@ class RetryingFetcher:
             except Exception as e:  # noqa: BLE001 — transport errors are opaque
                 err = e
                 if attempt < self.retries:
-                    self.sleep(self.backoff_s * (2**attempt))
+                    delay = self.backoff_s * (2**attempt)
+                    # HTTP 429 contract: when the transport attached the
+                    # server's Retry-After (sources/http.py sets
+                    # ``retry_after_s``), honor it — sleep at least that
+                    # long, never less because our backoff happened to be
+                    # smaller.
+                    retry_after = getattr(e, "retry_after_s", None)
+                    if retry_after is not None:
+                        delay = max(delay, float(retry_after))
+                    self.sleep(delay)
         raise FetchError(f"page fetch failed after {self.retries + 1} attempts: {address}") from err
 
 
