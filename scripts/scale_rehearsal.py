@@ -30,7 +30,7 @@ Dial settings at 10× (each documented at its definition):
          ~n²·L/2^P, so +2 planes ÷4 the collision rate while OR-amplified
          recall stays high (L=16 tables).
 
-Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text]`` — one size per
+Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
 /tmp/spark_graft_rehearsal). ``joins`` runs the TPC-H-ish join/agg family at
 1× and 10× in one invocation (10× fact tables derived from sf0.1 by
@@ -320,6 +320,66 @@ def run_joins_family(spark) -> None:
     print("joins: " + json.dumps(results))
 
 
+def run_mm_family(spark, doc_path: str) -> dict:
+    """Multimodal scaling: the Arrow-batched mapInPandas stages (decode/
+    features, resize, audio windowing, perceptual hash) over the synthesized
+    media table. All four are embarrassingly parallel — zero shuffles before
+    the final summary agg — so the 10×/1× ratio should track data volume."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators import multimodal as mm
+
+    docs = (
+        spark.read.parquet(doc_path)
+        # the rehearsal corpus lacks source/lang; derive deterministic ones
+        # so synthesize_media's meta struct is populated the same way
+        .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 5)))
+        .withColumn(
+            "lang",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        )
+    )
+    media = mm.synthesize_media(docs)
+
+    ops = {
+        "mm3_features": lambda: mm.extract_media_features(media).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("width").alias("w")
+        ),
+        "mm5_resize": lambda: mm.resize_media(media).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("content")).alias("b")
+        ),
+        "mm6_audio_energy": lambda: mm.audio_window_energy(media).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("energy").alias("e")
+        ),
+        "mm8_phash_groups": lambda: mm.media_phash(media)
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("groups")),
+    }
+    out = {}
+    for name, fn in ops.items():
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+        print(f"  {name}: {out[name]}s", file=sys.stderr, flush=True)
+    return out
+
+
+def run_mm_mode(spark) -> None:
+    for tag, n in {"1x": N_SMALL, "10x": N_SMALL * SCALE}.items():
+        dp = f"{BASE}/docs_{tag}"
+        if not os.path.exists(f"{dp}/_SUCCESS"):
+            gen_documents(spark, n, dp)
+        print(f"--- mm {tag} ({n} assets) ---", file=sys.stderr)
+        run_mm_family(spark, dp)  # warmup (codegen + Arrow init)
+        passes = [run_mm_family(spark, dp) for _ in range(3)]
+        result = {op: min(p[op] for p in passes) for op in passes[0]}
+        print(f"mm_{tag}: " + json.dumps(result))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -341,6 +401,9 @@ def main() -> None:
         return
     if wanted == ["text"]:
         run_text_mode(spark)
+        return
+    if wanted == ["mm"]:
+        run_mm_mode(spark)
         return
     for tag in wanted:
         n = all_sizes[tag]

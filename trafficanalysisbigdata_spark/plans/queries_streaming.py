@@ -190,3 +190,94 @@ def st6_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"), sum_exact("value", "total_value"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "st7_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+    FROM events WHERE user_id < 20
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+    tables=("events",),
+)
+def st7_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL ``applyInPandasWithState`` stream (streaming/stateful.py)
+    end-to-end and oracle-checks its final state.
+
+    Unlike st1–st6 (batch contracts of streaming expressions), the Spark side
+    here executes an actual structured stream: the events subset is split
+    into two files, read with ``maxFilesPerTrigger=1`` so per-key state MUST
+    carry across at least two micro-batches, drained under
+    Trigger.AvailableNow into a memory sink, and reduced to each key's final
+    emission (update-mode rows only ever grow in ``n`` per key, so
+    ``max_by(struct, n)`` is the last state). The oracle is the batch
+    groupBy — cumulative state after draining everything equals the batch
+    aggregate, which is the defining property of the operator.
+
+    Totals are rounded to 2 decimals on both sides: fixture values are exact
+    2-decimal quantities, so the decimal-exact oracle sum is a multiple of
+    0.01 and float accumulation error (~1e-11) can never flip the rounding.
+
+    Scale posture: state is sharded by the groupBy key across the state
+    store (bounded by key cardinality, not stream length); the memory-sink +
+    final-row reduction here is test scaffolding — production would write
+    update-mode rows to a keyed sink (ref Dash.py:119-131 keeps ONE global
+    in-memory frame in one process instead)."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..io import load_table
+    from ..session import prep
+    from ..streaming.stateful import stateful_running_totals
+
+    prep(spark)
+    run_id = uuid.uuid4().hex[:10]
+    work = tempfile.mkdtemp(prefix=f"st7_{os.getpid()}_{run_id}_")
+    src = os.path.join(work, "src")
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .filter(F.col("user_id") < 20)
+    )
+    # two files => two AvailableNow micro-batches with maxFilesPerTrigger=1
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"st7_totals_{run_id}"
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.table(sink)
+    return (
+        emitted.groupBy("user_id")
+        .agg(F.max_by(F.struct("n", "total"), "n").alias("fin"))
+        .select(
+            "user_id",
+            F.col("fin.n").alias("n"),
+            F.round(F.col("fin.total"), 2).alias("total"),
+        )
+        .orderBy("user_id")
+    )
