@@ -244,3 +244,68 @@ def test_sorted_layout_footers_are_disjoint(spark, sf_dir, tmp_path):
     )
     orig = ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
     assert back.count() == orig.count()
+
+
+def test_partition_upsert_touches_only_target_partition(spark, sf_dir, tmp_path):
+    """s14's dynamic-overwrite contract: the delta write must leave every
+    non-target partition byte-identical (same files, same sizes, same
+    mtimes) and replace the target partition's files."""
+    import os
+
+    from trafficanalysisbigdata_spark.io import load_table
+
+    prep(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("d", F.to_date("ts").cast("string"))
+    )
+    base = str(tmp_path / "events")
+    ev.write.partitionBy("d").mode("overwrite").parquet(base)
+
+    def snapshot() -> dict[str, dict[str, tuple[int, float]]]:
+        parts = {}
+        for entry in os.listdir(base):
+            if not entry.startswith("d="):
+                continue
+            pdir = os.path.join(base, entry)
+            parts[entry] = {
+                f: (os.path.getsize(os.path.join(pdir, f)),
+                    os.path.getmtime(os.path.join(pdir, f)))
+                for f in os.listdir(pdir)
+                if not f.startswith(".")
+            }
+        return parts
+
+    before = snapshot()
+    last_day = ev.agg(F.max("d")).first()[0]
+    target = f"d={last_day}"
+    assert target in before and len(before) > 1
+
+    delta = ev.filter(F.col("d") == last_day).withColumn("value", F.col("value") * 2)
+    (
+        delta.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("d")
+        .mode("overwrite")
+        .parquet(base)
+    )
+
+    after = snapshot()
+    assert set(after) == set(before), "partition set must be unchanged"
+    for part in before:
+        if part == target:
+            assert after[part] != before[part], "target partition must be rewritten"
+        else:
+            assert after[part] == before[part], f"{part} was touched by the upsert"
+
+    # and the merged table is exactly: all rows, last day's values doubled
+    back = spark.read.parquet(base)
+    n_before = ev.count()
+    assert back.count() == n_before
+    got = back.filter(F.col("d").cast("string") == last_day).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("t")
+    ).first()["t"]
+    want = ev.filter(F.col("d") == last_day).agg(
+        F.sum((F.col("value") * 2).cast("decimal(18,6)")).cast("double").alias("t")
+    ).first()["t"]
+    assert got == want
