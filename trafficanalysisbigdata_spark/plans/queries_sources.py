@@ -412,9 +412,13 @@ def s14_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.partitionBy("d").mode("overwrite").parquet(base)
 
     last_day = ev.agg(F.max("d")).first()[0]  # scalar bound, 1-row collect
-    delta = ev.filter(F.col("d") == last_day).withColumn(
-        "value", F.col("value") * 2
-    )
+    # Filter on a PLAIN ts range, not the derived day string: literal bounds
+    # on the raw column reach the parquet scan as PushedFilters (row-group
+    # skipping), where `cast(ts as date) = lit` would be evaluated post-scan.
+    delta = ev.filter(
+        (F.col("ts") >= F.lit(last_day).cast("timestamp"))
+        & (F.col("ts") < F.date_add(F.lit(last_day).cast("date"), 1).cast("timestamp"))
+    ).withColumn("value", F.col("value") * 2)
     (
         delta.write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("d")
