@@ -113,3 +113,19 @@ def test_sql2_exists_becomes_semi_join(spark, sf_dir):
     """Correlated EXISTS must rewrite to a semi join, not a full join+dedup."""
     plan = _plan(spark, sf_dir, "sql2_exists_big_spenders")
     assert "LeftSemi" in plan
+
+
+def test_s14_delta_filter_reaches_parquet_scan(spark, sf_dir):
+    """s14's correction batch must scan with a pushed ts range — a
+    cast(ts as date)=lit formulation silently reads the whole table."""
+    from trafficanalysisbigdata_spark.io import load_table
+    from trafficanalysisbigdata_spark.plans.queries_sources import correction_delta
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    plan = (
+        correction_delta(ev, "2024-01-30")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
