@@ -232,3 +232,80 @@ def ops1_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_freq") / F.col("mean_freq"), 4).alias("skew_ratio"),
         F.round(F.col("max_freq").cast("double") / F.col("n_rows"), 6).alias("top1_share"),
     )
+
+
+@register(
+    "ops2_partition_audit",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT event_id % 4) AS n_files
+      FROM events GROUP BY d),
+    m AS (SELECT AVG(n_rows) AS mean_rows FROM per_day)
+    SELECT d, n_rows, n_files,
+           ROUND(n_rows / n_files, 4) AS rows_per_file,
+           (n_rows / n_files) < 100 AS small_files,
+           n_rows < 0.9 * mean_rows AS undersized_day
+    FROM per_day, m ORDER BY d
+    """,
+    tags=("ops", "layout", "diagnostics", "metadata"),
+    tables=("events",),
+)
+def ops2_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition/file-size audit — the pre-compaction decision (s11's
+    operator) as a query, read from FILE METADATA rather than a catalog.
+
+    A day/shard-partitioned layout is written (shard = event_id % 4,
+    repartitioned on the partition keys so each (day, shard) combo is
+    exactly one file — which is what makes file counts SQL-predictable and
+    the audit oracle-checkable). The audit then reads the layout back with
+    the ``_metadata.file_path`` hidden column and reports, per day: row
+    count, file count, rows-per-file, a small-files flag (the s11
+    compaction trigger), and an undersized-day flag (days below 90% of the
+    mean — ingestion-gap detection).
+
+    Scale posture: the audit shuffles only (day, file_path) pairs — one
+    partial+final agg; file paths come from the reader's split metadata, no
+    data-column bytes are read beyond the pruned (d, file_path) projection.
+    At lake scale this is the query you run BEFORE s11 compaction or s14
+    partition rewrites, the same way ops1 runs before a skewed join."""
+    import os
+    import tempfile
+
+    from ..io import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("d", F.to_date("ts").cast("string"))
+        .withColumn("shard", (F.col("event_id") % 4).cast("int"))
+    )
+    work = tempfile.mkdtemp(prefix=f"ops2_{os.getpid()}_")
+    base = os.path.join(work, "events")
+    # one task per (d, shard) combo => exactly one file per combo
+    ev.repartition("d", "shard").write.partitionBy("d", "shard").mode(
+        "overwrite"
+    ).parquet(base)
+
+    back = spark.read.parquet(base).select(
+        F.col("d").cast("string").alias("d"),
+        F.col("_metadata.file_path").alias("file_path"),
+    )
+    per_day = back.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("file_path").alias("n_files"),
+    )
+    mean = per_day.agg(F.avg("n_rows").alias("mean_rows"))
+    return (
+        per_day.crossJoin(F.broadcast(mean))
+        .select(
+            "d",
+            "n_rows",
+            "n_files",
+            F.round(F.col("n_rows") / F.col("n_files"), 4).alias("rows_per_file"),
+            (F.col("n_rows") / F.col("n_files") < 100).alias("small_files"),
+            (F.col("n_rows") < 0.9 * F.col("mean_rows")).alias("undersized_day"),
+        )
+        .orderBy("d")
+    )

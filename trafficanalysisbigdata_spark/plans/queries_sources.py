@@ -367,6 +367,19 @@ def s13_sorted_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def correction_delta(ev: DataFrame, last_day: str) -> DataFrame:
+    """s14's correction batch: the latest day's rows with values doubled.
+
+    Filters on a PLAIN ts range, not the derived day string: literal bounds
+    on the raw column reach the parquet scan as PushedFilters (row-group
+    skipping), where ``cast(ts as date) = lit`` would be evaluated post-scan
+    (pinned in tests/test_plans.py)."""
+    return ev.filter(
+        (F.col("ts") >= F.lit(last_day).cast("timestamp"))
+        & (F.col("ts") < F.date_add(F.lit(last_day).cast("date"), 1).cast("timestamp"))
+    ).withColumn("value", F.col("value") * 2)
+
+
 @register(
     "s14_partition_upsert",
     oracle="""
@@ -412,13 +425,7 @@ def s14_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.partitionBy("d").mode("overwrite").parquet(base)
 
     last_day = ev.agg(F.max("d")).first()[0]  # scalar bound, 1-row collect
-    # Filter on a PLAIN ts range, not the derived day string: literal bounds
-    # on the raw column reach the parquet scan as PushedFilters (row-group
-    # skipping), where `cast(ts as date) = lit` would be evaluated post-scan.
-    delta = ev.filter(
-        (F.col("ts") >= F.lit(last_day).cast("timestamp"))
-        & (F.col("ts") < F.date_add(F.lit(last_day).cast("date"), 1).cast("timestamp"))
-    ).withColumn("value", F.col("value") * 2)
+    delta = correction_delta(ev, last_day)
     (
         delta.write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("d")
