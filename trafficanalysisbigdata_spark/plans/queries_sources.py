@@ -99,7 +99,7 @@ def s7_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     table, so the round-trip must preserve every row and value exactly."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = os.path.join(
-        tempfile.gettempdir(), f"s7_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(), f"s7_sink_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     )
     write_partitioned(ev, out, partition_by=["event_type"])
     back = spark.read.parquet(out)
@@ -135,7 +135,7 @@ def s8_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet, so text serialization must lose nothing."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = os.path.join(
-        tempfile.gettempdir(), f"s8_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(), f"s8_csv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     )
     ev.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema("event_id bigint, event_type string, value double").option(
@@ -163,7 +163,7 @@ def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both containers must preserve rows and values exactly."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = os.path.join(
-        tempfile.gettempdir(), f"s9_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(), f"s9_orc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     )
     ev.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
@@ -200,7 +200,7 @@ def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a metastore instead; the read semantics are identical."""
     ev = load_table(spark, sf_dir, "events")
     out = os.path.join(
-        tempfile.gettempdir(), f"s10_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(), f"s10_evo_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     )
     gen1 = ev.filter(F.col("event_id") % 2 == 0).select(
         "event_id", "event_type", "value"
@@ -242,7 +242,7 @@ def s11_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operator_edges.py asserts the file counts actually collapse."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     base = os.path.join(
-        tempfile.gettempdir(), f"s11_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(), f"s11_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     )
     frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
     ev.repartition(64).write.mode("overwrite").parquet(frag)
@@ -281,8 +281,8 @@ def s12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import write_partitioned
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"s12_{tag}")
-    ot, ct = f"s12_orders_{tag}", f"s12_cust_{tag}"
+    base = os.path.join(tempfile.gettempdir(), f"s12_{tag}_{os.getpid()}")
+    ot, ct = f"s12_orders_{tag}_{os.getpid()}", f"s12_cust_{tag}_{os.getpid()}"
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
