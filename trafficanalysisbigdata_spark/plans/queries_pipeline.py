@@ -483,3 +483,95 @@ def pipe6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "pipe7_temperature_resample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / {_HEX_MOD} AS u
+      FROM documents
+    ), pl AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS t FROM d GROUP BY lang
+    ), g AS (
+      SELECT CAST(SUM(t) AS DOUBLE) AS tot, SUM(SQRT(CAST(t AS DOUBLE))) AS w
+      FROM pl
+    ), r AS (
+      SELECT lang, t,
+             LEAST(1.0, (SQRT(CAST(t AS DOUBLE)) / w) * (0.5 * tot) / t) AS rate
+      FROM pl, g
+    ), k AS (
+      SELECT d.lang, COUNT(*) AS n_docs_kept,
+             CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_kept
+      FROM d JOIN r ON d.lang = r.lang WHERE d.u < r.rate GROUP BY d.lang
+    )
+    SELECT r.lang, r.t AS orig_tokens, ROUND(r.rate, 6) AS rate,
+           COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+           COALESCE(k.tokens_kept, 0) AS tokens_kept
+    FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang
+    """,
+    tags=("pipeline", "sampling", "mix"),
+    tables=("documents",),
+)
+def pipe7_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled training mix: per-language keep rates DERIVED
+    FROM THE CORPUS, then applied with the md5-threshold sampler.
+
+    pipe4 applies fixed rates and pipe2 reports the mix; this is the step
+    between them that multilingual pretraining actually runs: with τ = 0.5,
+    a language's sampling weight ∝ (its token share)^τ, which upweights
+    low-resource languages relative to proportional sampling; the token
+    budget is half the corpus. rate_l = min(1, weight_l · budget / tokens_l)
+    — clamped so no language oversamples (this engine never duplicates
+    rows; upsampling beyond 1.0 is an epoch-count decision, not a filter).
+
+    Two passes over one pruned (doc_id, lang, n_tokens) projection: a
+    per-language stats agg (5 rows) whose derived rates broadcast-join back
+    onto the scan, then the deterministic hash filter and a second agg.
+    Nothing shuffles except (lang, count) pairs; the decision for every doc
+    is reproducible across runs, retries, and engines — auditable sampling
+    at 100 TB. Rates are rounded to 6 dp on both sides (the kept-set itself
+    is ulp-robust: hash fractions are multiples of 16^-8, far coarser than
+    any double rounding in the rate derivation)."""
+    docs = spark.table("documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    per_lang = docs.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("t")
+    )
+    g = per_lang.agg(
+        F.sum("t").cast("double").alias("tot"),
+        F.sum(F.sqrt(F.col("t").cast("double"))).alias("w"),
+    )
+    rates = per_lang.crossJoin(F.broadcast(g)).select(
+        "lang",
+        "t",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(F.col("t").cast("double")) / F.col("w"))
+            * (0.5 * F.col("tot"))
+            / F.col("t"),
+        ).alias("rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(_hash_frac(F.col("doc_id")) < F.col("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("t").alias("orig_tokens"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
