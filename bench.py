@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "sql2_exists_big_spenders",
     "w7_range_frame_weekly",
     "mm5_resize_summary",
+    # round-6 new operators (st7 excluded: a real structured stream's
+    # startup dominates its wall time and would only measure trigger
+    # latency, not engine throughput)
+    "s14_partition_upsert",
+    "ops2_partition_audit",
+    "pipe7_temperature_resample",
 ]
 
 

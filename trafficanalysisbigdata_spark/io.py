@@ -97,3 +97,59 @@ def write_sorted(df: DataFrame, path: str, sort_col: str, n_files: int) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_col(u: F.Column, v: F.Column, bits: int = 16) -> F.Column:
+    """Interleave the low ``bits`` bits of two non-negative integer columns
+    into a Morton (z-order) key: z = ... v1 u1 v0 u0.
+
+    Pure Catalyst bit math (shift/and/or), so the key computation is
+    whole-stage-codegen and never leaves the JVM."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zorder(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int, bits: int = 16
+) -> None:
+    """Two-column z-order clustered parquet layout — the multi-dimensional
+    generalization of ``write_sorted``: each column is min-max normalized to
+    a ``bits``-bit rank (bounds from one scalar aggregate, broadcast back),
+    the ranks interleave into a Morton key, and rows are range-partitioned +
+    sorted on that key. Because the z-curve preserves locality in BOTH
+    dimensions, every file's parquet footer carries a tight min/max box on
+    col_a AND col_b simultaneously (asserted on disk in
+    tests/test_operator_edges.py) — so a predicate on either column, or a
+    box on both, prunes files/row groups. A single-column sort gives tight
+    footers on one dimension and full-range footers on every other; z-order
+    is what table formats run for multi-dimension clustering.
+    """
+    top = float((1 << bits) - 1)
+    bounds = df.agg(
+        F.min(col_a).cast("double").alias("_a_lo"),
+        F.max(col_a).cast("double").alias("_a_hi"),
+        F.min(col_b).cast("double").alias("_b_lo"),
+        F.max(col_b).cast("double").alias("_b_hi"),
+    )
+
+    def rank(c: str, lo: str, hi: str) -> F.Column:
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1e-12))
+        frac = (F.col(c).cast("double") - F.col(lo)) / span
+        return F.floor(frac * top).cast("long")
+
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_z", zorder_col(rank(col_a, "_a_lo", "_a_hi"), rank(col_b, "_b_lo", "_b_hi"))
+    )
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_a_lo", "_a_hi", "_b_lo", "_b_hi")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -442,3 +442,69 @@ def s14_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "s15_zorder_layout_scan",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+             MIN(value) AS vlo, MAX(value) AS vhi
+      FROM events
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(MIN(user_id) AS BIGINT) AS min_u,
+           CAST(MAX(user_id) AS BIGINT) AS max_u
+    FROM events, b
+    WHERE user_id >= ulo + 0.25 * (uhi - ulo)
+      AND user_id <= ulo + 0.50 * (uhi - ulo)
+      AND value   >= vlo + 0.25 * (vhi - vlo)
+      AND value   <= vlo + 0.50 * (vhi - vlo)
+    """,
+    tags=("sink", "layout", "zorder", "data-skipping"),
+    tables=("events",),
+)
+def s15_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order payoff as a query: events rewritten Morton-clustered on
+    (user_id, value) — io.write_zorder — then a BOX predicate on both
+    dimensions is aggregated FROM THE CLUSTERED LAYOUT.
+
+    With literal box bounds (the production shape) the two range predicates
+    push to the parquet scan and prune against per-file footers that are
+    tight on BOTH columns simultaneously — bytes read scale with the box
+    volume, which no single-column sort can give you
+    (tests/test_operator_edges.py asserts the per-file min/max boxes cover a
+    fraction of the domain on each dimension, vs ~the full domain for a
+    round-robin write of the same rows). This query derives its box from
+    min/max scalars (broadcast) to stay deterministic across fixtures, so —
+    exactly like s13 — it checks layout-roundtrip correctness; the pruning
+    behavior itself is pinned in the edge test with literal bounds. The
+    oracle runs the same box over the ORIGINAL table: clustering must be a
+    pure reorganization, zero row/value drift."""
+    from ..io import write_zorder
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"s15_{tag}_{os.getpid()}")
+    write_zorder(ev, path, "user_id", "value", n_files=8)
+    back = spark.read.parquet(path)
+
+    b = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("value").alias("vlo"),
+        F.max("value").alias("vhi"),
+    )
+    boxed = back.crossJoin(F.broadcast(b)).filter(
+        (F.col("user_id") >= F.col("ulo") + 0.25 * (F.col("uhi") - F.col("ulo")))
+        & (F.col("user_id") <= F.col("ulo") + 0.50 * (F.col("uhi") - F.col("ulo")))
+        & (F.col("value") >= F.col("vlo") + 0.25 * (F.col("vhi") - F.col("vlo")))
+        & (F.col("value") <= F.col("vlo") + 0.50 * (F.col("vhi") - F.col("vlo")))
+    )
+    return boxed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.min("user_id").cast("bigint").alias("min_u"),
+        F.max("user_id").cast("bigint").alias("max_u"),
+    )
