@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "s14_partition_upsert",
     "ops2_partition_audit",
     "pipe7_temperature_resample",
+    "s15_zorder_layout_scan",
 ]
 
 

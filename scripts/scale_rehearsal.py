@@ -102,6 +102,7 @@ def gen_embeddings(spark, n_vecs: int, path: str) -> None:
 def run_family(spark, doc_path: str, emb_path: str, n_docs: int, big: bool) -> dict:
     from pyspark.sql import functions as F
 
+    from trafficanalysisbigdata_spark.operators import components
     from trafficanalysisbigdata_spark.operators import dedup as dd
     from trafficanalysisbigdata_spark.operators import similarity as sim
 
@@ -141,6 +142,18 @@ def run_family(spark, doc_path: str, emb_path: str, n_docs: int, big: bool) -> d
         "sim4_lsh_neardup": lambda: sim.lsh_neardup_pairs(
             emb, 0.8, n_tables=16, n_planes=n_planes, dim=DIM
         ).agg(F.count(F.lit(1)).alias("pairs")),
+        # dd6 over synthetic 16-chains: measures the iterative CC machinery
+        # itself (pointer jumping, single-job convergence, checkpointing) —
+        # component COUNT scales with n while round count stays O(log 16),
+        # so wall time should track edge volume
+        "dd6_components": lambda: components.connected_components(
+            docs.select(F.col("doc_id").alias("doc1"))
+            .filter(F.col("doc_id") % 16 != 15)
+            .withColumn("doc2", F.col("doc1") + 1)
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("component").alias("n_comp"),
+        ),
     }
     out = {}
     for name, fn in ops.items():

@@ -378,3 +378,76 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(want)
     assert set(got) == want
+
+
+def test_stream_stream_left_outer_matches_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: null-match (orphan) rows are emitted
+    only once the watermark passes a purchase's whole match window, so the
+    view source carries a far-future outpost row (matching no one) that
+    drives the final watermark past every real purchase — after which the
+    drained streaming output must equal the batch left join exactly."""
+    from trafficanalysisbigdata_spark.streaming.joins import (
+        purchase_view_attribution,
+    )
+
+    prep(spark)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .filter(F.col("user_id") < 40)
+    )
+    p_src, v_src = str(tmp_path / "po_src"), str(tmp_path / "vo_src")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    views = events.filter(F.col("event_type") == "view")
+    purchases.coalesce(1).write.mode("append").parquet(p_src)
+    views.coalesce(1).write.mode("append").parquet(v_src)
+    # Outposts on BOTH sources: the join's global watermark is the MIN of
+    # the two sides' watermarks, so advancing only the view side would
+    # leave every purchase in the last delay+horizon stretch unemitted.
+    # max(ts) + 3h clears delay (1h) + horizon (30m); impossible user.
+    def outpost(kind):
+        return events.agg(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(10**9).cast("long").alias("user_id"),
+            F.lit(kind).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            (F.max("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        )
+
+    outpost("view").coalesce(1).write.mode("append").parquet(v_src)
+    outpost("purchase").coalesce(1).write.mode("append").parquet(p_src)
+
+    got: list = []
+
+    def sink(df, _bid):
+        # drop the outpost's own (possibly never-emitted) orphan row
+        got.extend((r.p_id, r.v_id) for r in df.collect() if r.p_id != -1)
+
+    q = (
+        purchase_view_attribution(
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(p_src),
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(v_src),
+            how="leftOuter",
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ssjo_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    want = {
+        (r.p_id, r.v_id)
+        for r in purchase_view_attribution(
+            purchases, views, streaming=False, how="leftOuter"
+        ).collect()
+    }
+    assert len(got) == len(want)
+    assert set(got) == want
+    assert any(v is None for _, v in want), "fixture must produce orphans"
+    assert any(v is not None for _, v in want)

@@ -281,3 +281,63 @@ def st7_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "st8_orphan_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    per_p AS (
+      SELECT p.event_id,
+             MAX(p.value) AS p_value,
+             MAX(CASE WHEN v.event_id IS NOT NULL THEN 1 ELSE 0 END) AS has_view
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id
+       AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL '30 minutes'
+      GROUP BY p.event_id
+    )
+    SELECT COUNT(*) AS n_purchases,
+           CAST(SUM(has_view) AS BIGINT) AS n_attributed,
+           CAST(SUM(1 - has_view) AS BIGINT) AS n_orphans,
+           CAST(SUM(CASE WHEN has_view = 0
+                         THEN CAST(p_value AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS orphan_value
+    FROM per_p
+    """,
+    tags=("streaming", "join", "outer"),
+    tables=("events",),
+)
+def st8_orphan_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch contract of the LEFT OUTER stream-stream attribution join: the
+    purchases NO view followed within 30 minutes (the retargeting audience /
+    lost-conversion report). Outer is the hard streaming case — a null-match
+    row can only be emitted once the watermark proves no view can still
+    arrive; the streaming form is pinned to this output in
+    tests/test_streaming.py with an outpost row advancing the watermark.
+    Same bounded-state posture as st5: equi-key on user_id, time bound as a
+    join-side filter, state evicted at watermark - match-window."""
+    from ..streaming.joins import purchase_view_attribution
+
+    ev = spark.table("events")
+    joined = purchase_view_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        streaming=False,
+        how="leftOuter",
+    )
+    per_p = joined.groupBy("p_id").agg(
+        F.max("p_value").alias("p_value"),
+        F.max(F.col("v_id").isNotNull().cast("int")).alias("has_view"),
+    )
+    return per_p.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("has_view").cast("bigint").alias("n_attributed"),
+        F.sum(1 - F.col("has_view")).cast("bigint").alias("n_orphans"),
+        F.sum(
+            F.when(F.col("has_view") == 0, F.col("p_value").cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("orphan_value"),
+    )

@@ -24,11 +24,20 @@ def purchase_view_attribution(
     horizon: str = "30 minutes",
     delay: str = "1 hour",
     streaming: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """Attribution join: each purchase matches the same user's views within
-    ``horizon`` AFTER the purchase. Inner join; the interval bound plus both
-    watermarks bound the state Spark must hold (rows are evicted once the
-    watermark passes their match window).
+    ``horizon`` AFTER the purchase. The interval bound plus both watermarks
+    bound the state Spark must hold (rows are evicted once the watermark
+    passes their match window).
+
+    ``how="leftOuter"`` keeps unmatched purchases (the orphan-attribution
+    case — st8). In streaming mode an outer null-match row is emitted only
+    once the watermark PASSES the purchase's whole match window (before
+    that, a matching view could still arrive) — so a drained AvailableNow
+    run reports orphans only for purchases whose window is closed by the
+    final watermark; tests/test_streaming.py pins this against the batch
+    form with an outpost row advancing the watermark.
 
     With ``streaming=False`` the identical plan runs on static frames — the
     form the DuckDB oracle checks.
@@ -52,4 +61,4 @@ def purchase_view_attribution(
         & (F.col("v_ts") >= F.col("p_ts"))
         & (F.col("v_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {horizon}"))
     )
-    return p.join(v, cond)
+    return p.join(v, cond, how)
