@@ -168,3 +168,27 @@ def test_embedding_lsh_bucket_cap_bounds_candidates(spark):
 
     uncapped = lsh_neardup_pairs(emb, 0.9, n_tables=8, n_planes=4, dim=16)
     assert uncapped.count() >= 300 * 299 / 2  # identical vectors all pair up
+
+
+def test_int8_quantized_topk_recall_vs_bruteforce(spark, sf_dir):
+    """sim7's value oracle proves the quantized ranking is computed right;
+    this proves the quantization is USEFUL — int8 scores must recover almost
+    all of the exact float-cosine top-5 (they diverge only where true
+    cosines are nearly tied)."""
+    from trafficanalysisbigdata_spark.operators.similarity import quantized_topk
+
+    prep(spark)
+    register_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in quantized_topk(emb, probes, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"int8 recall too low: {recall}"

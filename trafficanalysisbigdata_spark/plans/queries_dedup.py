@@ -286,3 +286,81 @@ def dd6_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("size").cast("bigint").alias("size"), "n_components", "keeper_id_sum")
         .orderBy("size")
     )
+
+
+@register(
+    "dd7_duplicate_spans",
+    oracle="""
+    WITH post AS (
+      SELECT doc_id, md5(sh) AS k FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh
+        FROM documents)
+    ), occ AS (
+      SELECT k, doc_id, COUNT(*) AS occ FROM post GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT k, COUNT(*) AS n_docs FROM occ GROUP BY 1
+    )
+    SELECT o.doc_id,
+           CAST(SUM(o.occ) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.n_docs >= 2 THEN o.occ ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(SUM(CASE WHEN d.n_docs >= 2 THEN o.occ ELSE 0 END) * 1.0
+                 / SUM(o.occ), 6) AS dup_frac
+    FROM occ o JOIN dfreq d USING (k)
+    GROUP BY o.doc_id ORDER BY o.doc_id
+    """,
+    tags=("dedup", "spans", "llm-pipeline"),
+    tables=("documents",),
+)
+def dd7_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicated-text measurement (the exact-substring dedup
+    signal of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", at fixed 5-token granularity): a span is duplicated if
+    the same 5-token shingle occurs in >= 2 DISTINCT documents; each doc
+    reports its total shingle occurrences, how many of them are cross-doc
+    duplicated, and the duplicated fraction — the per-document removal
+    signal a span-dedup pass thresholds on. Docs under 5 tokens carry no
+    shingle and are excluded (mirrored by the oracle's empty range()).
+
+    Unlike tx9 (doc-level boilerplate share) this counts OCCURRENCES, so a
+    doc that repeats a cross-doc-duplicated span 10x is 10x flagged —
+    matching the suffix-array semantics at shingle resolution.
+
+    Scale posture: postings shuffle as (md5, doc_id) pairs — the md5 key is
+    16 bytes regardless of span text, and the (k, doc_id) pre-aggregation
+    partial-combines map-side so a doc's internal repetitions never cross
+    the wire individually. Document frequency is a second partial agg over
+    one row per (k, doc); the flag join is equi on k where the build side
+    is one skinny row per shingle — hot boilerplate shingles are handled by
+    AQE skew-split exactly as dd4's postings join, and a df-cap mirroring
+    dd4's min(frac*n, abs) bound can drop ubiquitous shingles early if a
+    corpus is adversarially boilerplate-heavy (a shingle in >cap docs is
+    dup by definition; only its exact df is lost)."""
+    from ..functions.text import token_ngrams
+
+    post = (
+        spark.table("documents")
+        .select("doc_id", F.explode(token_ngrams(F.col("text"), 5)).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("k"))
+    )
+    occ = post.groupBy("k", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    dfreq = occ.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        occ.join(dfreq, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup") * 1.0 / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

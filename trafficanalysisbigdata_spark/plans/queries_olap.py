@@ -182,6 +182,172 @@ def olap5_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap6_funnel_conversion",
+    oracle="""
+    WITH pud AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY 1, 2
+    ), staged AS (
+      SELECT d,
+             (fv IS NOT NULL) AS s1,
+             (fv IS NOT NULL AND fc > fv) AS s2,
+             (fv IS NOT NULL AND fc > fv AND fp > fc) AS s3
+      FROM pud
+    )
+    SELECT d,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+           CASE WHEN SUM(CASE WHEN s1 THEN 1 ELSE 0 END) > 0
+                THEN ROUND(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) * 1.0
+                           / SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 6) END AS view_to_click,
+           CASE WHEN SUM(CASE WHEN s2 THEN 1 ELSE 0 END) > 0
+                THEN ROUND(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) * 1.0
+                           / SUM(CASE WHEN s2 THEN 1 ELSE 0 END), 6) END AS click_to_purchase
+    FROM staged GROUP BY d ORDER BY d
+    """,
+    tags=("olap", "funnel"),
+    tables=("events",),
+)
+def olap6_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day conversion funnel (view → click-after-view →
+    purchase-after-click), the product-analytics staple the reference's
+    dashboard implies but never computes. Stage membership is the
+    first-timestamp ordering test min(view) < min(click) < min(purchase)
+    per (user, day) — ONE conditional-aggregation pass over events, no
+    self-joins and no window over the fact table.
+
+    Scale posture: stage 1 is a (day, user) groupBy — partial aggregation
+    combines map-side so the shuffle carries at most one row per (day, user)
+    per map task; stage 2 reduces that to one row per day. No per-event
+    state survives past the first exchange, which is what makes the funnel
+    viable on a 100 TB event log where a sessionization-window approach
+    (all of a user's events sorted in one task) would not be needed."""
+    ev = spark.table("events")
+    pud = ev.groupBy(F.to_date("ts").cast("string").alias("d"), "user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    staged = pud.select(
+        "d",
+        F.col("fv").isNotNull().alias("s1"),
+        (F.col("fv").isNotNull() & (F.col("fc") > F.col("fv"))).alias("s2"),
+        (
+            F.col("fv").isNotNull()
+            & (F.col("fc") > F.col("fv"))
+            & (F.col("fp") > F.col("fc"))
+        ).alias("s3"),
+    )
+    daily = staged.groupBy("d").agg(
+        F.sum(F.col("s1").cast("bigint")).alias("n_view"),
+        F.sum(F.col("s2").cast("bigint")).alias("n_view_click"),
+        F.sum(F.col("s3").cast("bigint")).alias("n_full_funnel"),
+    )
+    return daily.select(
+        "d",
+        "n_view",
+        "n_view_click",
+        "n_full_funnel",
+        F.when(
+            F.col("n_view") > 0,
+            F.round(F.col("n_view_click") * 1.0 / F.col("n_view"), 6),
+        ).alias("view_to_click"),
+        F.when(
+            F.col("n_view_click") > 0,
+            F.round(F.col("n_full_funnel") * 1.0 / F.col("n_view_click"), 6),
+        ).alias("click_to_purchase"),
+    ).orderBy("d")
+
+
+@register(
+    "olap7_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM seq
+    ), grouped AS (
+      SELECT user_id, run_id, event_type AS attr,
+             MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, attr, CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(COALESCE(LEAD(valid_from) OVER w2,
+                         TIMESTAMP '9999-12-31 00:00:00') AS VARCHAR) AS valid_to,
+           (LEAD(valid_from) OVER w2 IS NULL) AS is_current,
+           n_events
+    FROM grouped WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    ORDER BY user_id, valid_from
+    """,
+    tags=("olap", "scd2", "warehouse"),
+    tables=("events",),
+)
+def olap7_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build — the warehouse op that turns
+    an event log into validity intervals: per user, consecutive runs of the
+    same attribute (event_type stands in for the tracked attribute) collapse
+    to one row with [valid_from, valid_to) and an is_current flag on the
+    open interval. Gaps-and-islands via lag→change-flag→running-sum run ids,
+    then lead() for the interval close — the textbook relational SCD2 shape.
+
+    Scale posture: every window partitions by user_id, so the build is
+    embarrassingly parallel across users (no unpartitioned window
+    anywhere); the runs collapse is a partial-aggregable groupBy. A user's
+    full history must fit one task — true for any real user-keyed log, and
+    the same bound every sessionizer accepts. Bounded to user_id < 100 to
+    keep the differential result reviewable; the plan is bound-independent."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        spark.table("events")
+        .filter(F.col("user_id") < 100)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = seq.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grouped = runs.groupBy("user_id", "run_id", F.col("event_type").alias("attr")).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        grouped.withColumn("next_from", F.lead("valid_from").over(w2))
+        .select(
+            "user_id",
+            "attr",
+            # string intervals: the 9999-12-31 open-interval sentinel is not
+            # representable as a pandas ns timestamp, and strings hash
+            # engine-identically
+            F.col("valid_from").cast("string").alias("valid_from"),
+            F.coalesce(
+                F.col("next_from").cast("string"), F.lit("9999-12-31 00:00:00")
+            ).alias("valid_to"),
+            F.col("next_from").isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@register(
     "ops1_join_key_skew_profile",
     oracle="""
     WITH freq AS (
