@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     "ops2_partition_audit",
     "pipe7_temperature_resample",
     "s15_zorder_layout_scan",
+    "olap6_funnel_conversion",
+    "olap7_scd2_intervals",
+    "dd7_duplicate_spans",
+    "sim7_int8_quantized_topk",
 ]
 
 

@@ -146,6 +146,11 @@ def run_family(spark, doc_path: str, emb_path: str, n_docs: int, big: bool) -> d
         # itself (pointer jumping, single-job convergence, checkpointing) —
         # component COUNT scales with n while round count stays O(log 16),
         # so wall time should track edge volume
+        "dd7_duplicate_spans": lambda: dd.duplicate_span_stats(docs, n=5).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dup_frac"), 4).alias("avg_frac"),
+        ),
+        "sim7_int8_quantized_topk": lambda: sim.quantized_topk(emb, probes, k=5),
         "dd6_components": lambda: components.connected_components(
             docs.select(F.col("doc_id").alias("doc1"))
             .filter(F.col("doc_id") % 16 != 15)

@@ -129,3 +129,47 @@ def test_s14_delta_filter_reaches_parquet_scan(spark, sf_dir):
         .toString()
     )
     assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+
+
+def test_sim7_broadcasts_probes_no_corpus_shuffle(spark, sf_dir):
+    """sim7: probes attach as a broadcast nested-loop over the corpus scan;
+    the corpus must not hash-exchange before scoring (the only exchange is
+    the per-probe top-k window over candidate rows)."""
+    plan = _plan(spark, sf_dir, "sim7_int8_quantized_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    pre_join = plan.split("BroadcastNestedLoopJoin")[-1]
+    # the corpus side (below the join in the tree) scans embeddings with no
+    # Exchange between scan and join
+    assert "Exchange hashpartitioning" not in pre_join.split("Scan")[0]
+
+
+def test_dd7_aggregates_are_partial_final(spark, sf_dir):
+    """dd7: both the (k, doc) occurrence agg and the df agg must compile to
+    partial+final HashAggregate pairs (map-side combine before the md5-key
+    shuffle), and the postings shuffle must carry the md5 key, not span
+    text."""
+    plan = _plan(spark, sf_dir, "dd7_duplicate_spans")
+    assert plan.count("HashAggregate") >= 4  # >= 2 partial/final pairs
+    assert "md5" in plan
+    # span text never crosses an exchange: no exchange key contains 'sh'
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "sh#" not in ln, ln
+
+
+def test_olap6_single_pass_no_self_join(spark, sf_dir):
+    """olap6: the funnel is two aggregations over one events scan — no
+    join of events against itself (the naive per-stage-filter funnel)."""
+    plan = _plan(spark, sf_dir, "olap6_funnel_conversion")
+    assert plan.count("Scan parquet") + plan.count("Scan ExistingRDD") <= 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_olap7_windows_partition_by_user(spark, sf_dir):
+    """olap7: every window must partition by user_id — an unpartitioned
+    window would funnel the log through one task."""
+    plan = _plan(spark, sf_dir, "olap7_scd2_intervals")
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "user_id" in ln, ln

@@ -298,3 +298,45 @@ def doc_shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(token_bigrams(F.col(text_col)))).alias("token"),
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicated-span statistics (dd7): a span = an n-token
+    shingle occurring in >= 2 DISTINCT documents; returns (doc_id,
+    n_shingles, n_dup, dup_frac) counting OCCURRENCES, i.e. the
+    exact-substring-dedup removal signal of Lee et al. 2021 at shingle
+    granularity.
+
+    Shuffle shape: postings travel as (md5, doc_id) 16-byte keys; the
+    (k, doc) pre-aggregation partial-combines map-side so intra-doc
+    repetition never crosses the wire row-by-row; document frequency is a
+    second partial agg over one row per (k, doc); the dup-flag join is equi
+    on k (AQE skew-split handles hot boilerplate shingles — or pre-cap df
+    like dd4 when a corpus is adversarially boilerplate-heavy).
+    """
+    from ..functions.text import token_ngrams
+
+    post = (
+        docs.select(id_col, F.explode(token_ngrams(F.col(text_col), n)).alias("sh"))
+        .select(id_col, F.md5("sh").alias("k"))
+    )
+    occ = post.groupBy("k", id_col).agg(F.count(F.lit(1)).alias("occ"))
+    dfreq = occ.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        occ.join(dfreq, "k")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup") * 1.0 / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
+    )

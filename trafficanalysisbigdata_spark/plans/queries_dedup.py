@@ -338,29 +338,6 @@ def dd7_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd4's min(frac*n, abs) bound can drop ubiquitous shingles early if a
     corpus is adversarially boilerplate-heavy (a shingle in >cap docs is
     dup by definition; only its exact df is lost)."""
-    from ..functions.text import token_ngrams
+    from ..operators.dedup import duplicate_span_stats
 
-    post = (
-        spark.table("documents")
-        .select("doc_id", F.explode(token_ngrams(F.col("text"), 5)).alias("sh"))
-        .select("doc_id", F.md5("sh").alias("k"))
-    )
-    occ = post.groupBy("k", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
-    dfreq = occ.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        occ.join(dfreq, "k")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("occ").cast("bigint").alias("n_shingles"),
-            F.sum(F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_dup",
-            F.round(F.col("n_dup") * 1.0 / F.col("n_shingles"), 6).alias("dup_frac"),
-        )
-        .orderBy("doc_id")
-    )
+    return duplicate_span_stats(spark.table("documents"), n=5).orderBy("doc_id")
