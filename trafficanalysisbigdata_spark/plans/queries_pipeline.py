@@ -575,3 +575,67 @@ def pipe7_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipe8_shard_manifest",
+    oracle=f"""
+    WITH sh AS (
+      SELECT CAST(floor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / {_HEX_MOD}) * 8) AS INT) AS shard,
+             len(string_split(text, ' ')) AS n_tokens,
+             n_chars
+      FROM documents
+    ), per AS (
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM sh GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens, n_chars,
+           ROUND(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM per), 6) AS token_share
+    FROM per ORDER BY shard
+    """,
+    tags=("pipeline", "sharding", "llm-pipeline"),
+    tables=("documents",),
+)
+def pipe8_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest — the export-audit step between corpus build
+    and training: every document is assigned to one of 8 shards by the same
+    deterministic md5-hash uniform pipe4 samples with (any worker, engine or
+    retry recomputes identical membership — rand()/repartition round-robin
+    cannot be audited), and the manifest reports per-shard doc/token/char
+    budgets plus each shard's token share, the balance check a trainer reads
+    before declaring steps-per-epoch.
+
+    Scale posture: one scan, one partial/final groupBy on an 8-value key,
+    grand total rejoined as a 1-row broadcast (olap5's shape — never an
+    unpartitioned window). The physical export is this same shard column fed
+    to repartition(shard).write.partitionBy(shard) (s7/ops2 machinery);
+    hash assignment keeps shard sizes within ~1/sqrt(n_docs/8) of ideal at
+    any corpus size, and the manifest is the proof."""
+    docs = spark.table("documents")
+    sh = docs.select(
+        F.floor(_hash_frac(F.col("doc_id")) * 8).cast("int").alias("shard"),
+        token_count(F.col("text")).alias("n_tokens"),
+        "n_chars",
+    )
+    per = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_tokens") * 1.0 / F.col("tot_tokens"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("shard")
+    )

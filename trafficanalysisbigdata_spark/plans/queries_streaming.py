@@ -341,3 +341,88 @@ def st8_orphan_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("orphan_value"),
     )
+
+
+@register(
+    "st9_watermark_dedup_stream",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
+    FROM events WHERE user_id < 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+    tables=("events",),
+)
+def st9_watermark_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL ``dropDuplicatesWithinWatermark`` stream
+    (streaming/dedup.streaming_dedup) end-to-end — the online sibling of
+    dd1's batch hash-dedup and the second genuine structured stream in the
+    registry after st7.
+
+    The events subset splits into two files read with maxFilesPerTrigger=1,
+    so dedup state MUST carry across micro-batches (a key seen in batch 1
+    suppresses its duplicates in batch 2). WHICH physical row survives
+    depends on arrival order — unknowable online — so the query aggregates
+    to what is arrival-order-INVARIANT: with the dedup delay (365 days)
+    wider than the fixture's event-time span, no state ever expires, every
+    duplicate key is suppressed, and the appended row-set is exactly one
+    row per distinct (user_id, event_type). Counting those per event_type
+    equals the batch COUNT(DISTINCT user_id) — the defining contract of the
+    operator, oracle-checked.
+
+    Scale posture: dedup state shards by key hash across the state store
+    and expires at watermark - delay, so memory is bounded by keys-in-
+    horizon, not stream length; in production delay is hours, trading
+    far-apart duplicates for bounded state (the batch dd1 pass catches the
+    long tail). Ref contract: TrafficAnalysis.py dedups once per download;
+    a 100 TB ingest dedups as data lands."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..io import load_table
+    from ..session import prep
+    from ..streaming.dedup import streaming_dedup
+
+    prep(spark)
+    run_id = uuid.uuid4().hex[:10]
+    work = tempfile.mkdtemp(prefix=f"st9_{os.getpid()}_{run_id}_")
+    src = os.path.join(work, "src")
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(F.col("user_id") < 50)
+    )
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"st9_dedup_{run_id}"
+    q = (
+        streaming_dedup(stream, ["user_id", "event_type"], delay="365 days")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("event_type")
+    )

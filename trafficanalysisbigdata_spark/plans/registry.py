@@ -136,8 +136,13 @@ def load_all() -> dict[str, QuerySpec]:
 # had never been driver-sampled through round 5 (windows tail, set/sql,
 # text, OLAP, dedup, pipeline, similarity, geo, multimodal, streaming — the
 # whole LLM-pipeline surface, previously green only in the local DuckDB
-# mirror), plus a14b (oracle-bearing as of round 6) and six
-# recently-modified flagship dedup/similarity queries worth re-confirming.
+# mirror), plus a14b (oracle-bearing as of round 6), dd2 (never sampled)
+# and the round-6 additions dd7/sim7/pipe8/olap6/olap7.
+# Rotation policy: entries that have earned a driver-green row in a past
+# CORRECTNESS_r{N} rotate out in favor of never-sampled oracle-bearing
+# queries (round 6 rotated out dd1/dd3/dd4/sim1/sim2, all green in r1 —
+# still-unsampled after this round: st7-st9, s14, s15, ops2, pipe7, the
+# pre-window tail).
 # Everything else follows in registration order; the no-oracle queries
 # (ml1–ml8, sim5, sim6) sort last so the window is 100% oracle-checkable.
 _DRIVER_WINDOW = (
@@ -185,12 +190,12 @@ _DRIVER_WINDOW = (
     "st5_purchase_view_attribution",
     "st6_stream_static_enrich",
     "a14b_hll_estimate_audit",
-    "dd1_exact_dedup",
     "dd2_minhash_lsh",
-    "dd3_simhash_groups",
-    "dd4_ngram_jaccard",
-    "sim1_ann_topk_bruteforce",
-    "sim2_embedding_neardup_pairs",
+    "dd7_duplicate_spans",
+    "sim7_int8_quantized_topk",
+    "pipe8_shard_manifest",
+    "olap6_funnel_conversion",
+    "olap7_scd2_intervals",
 )
 
 
