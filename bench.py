@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "sim7_int8_quantized_topk",
     # st9 excluded like st7: a real structured stream's startup dominates
     "pipe8_shard_manifest",
+    "olap8_retention_cohorts",
+    "a16_mode_median",
 ]
 
 

@@ -514,3 +514,61 @@ def a15_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "a16_mode_median",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, bucket, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, bucket) AS rn
+      FROM b
+    ), md AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS median_value
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type, m.bucket AS mode_bucket, m.c AS mode_count,
+           md.median_value
+    FROM m JOIN md USING (event_type)
+    WHERE m.rn = 1 ORDER BY m.event_type
+    """,
+    tags=("agg", "mode", "median"),
+    tables=("events",),
+)
+def a16_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + exact median per group — the two order
+    statistics describe() omits. The mode is derived explicitly (bucket
+    counts → row_number with a smallest-bucket tie-break) rather than
+    F.mode(), whose tie behavior is engine-arbitrary and would flap the
+    oracle; the median is percentile_disc(0.5) — an actual data value, the
+    same order statistic DuckDB's quantile_disc picks (ops1 already pins
+    this convention at p99).
+
+    Scale posture: bucket counts partial-aggregate map-side, so the mode
+    shuffle carries (group, bucket) pairs, not rows; the per-group argmax is
+    a window over bucket counts (small), not events. percentile_disc is the
+    one full-sort-per-group op here — at 100 TB swap approx_percentile
+    (t-digest, a15's audited contract) and keep this exact form for
+    verification samples."""
+    ev = spark.table("events")
+    b = ev.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("bucket"))
+    mode = (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"), F.col("c").alias("mode_count"))
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "median_value"
+        )
+    )
+    return mode.join(med, "event_type").orderBy("event_type")

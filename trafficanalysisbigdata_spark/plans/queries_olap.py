@@ -475,3 +475,47 @@ def ops2_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "olap8_retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(f.cohort_d AS VARCHAR) AS cohort_d,
+           date_diff('day', f.cohort_d, a.d) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity a JOIN firstday f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("olap", "retention", "cohort"),
+    tables=("events",),
+)
+def olap8_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle — the other product-analytics staple next
+    to olap6's funnel: users cohorted by first-seen day, counted active per
+    (cohort, day-offset). Row (c, 0) is cohort size; n_active/cohort-size
+    by offset is the retention curve a dashboard draws.
+
+    Scale posture: cohort assignment is a user-keyed groupBy; the activity
+    set is a (user, day) distinct — both partial-aggregate map-side and
+    both shuffle on user_id, so the join is co-partitioned (one logical
+    partitioning serves agg+agg+join; AQE coalesces). The result is tiny
+    (days × offsets), never wider than the calendar² regardless of event
+    volume."""
+    ev = spark.table("events")
+    firstday = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_d"))
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        activity.join(firstday, "user_id")
+        .groupBy(
+            F.col("cohort_d").cast("string").alias("cohort_d"),
+            F.datediff("d", "cohort_d").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_d", "day_offset")
+    )
