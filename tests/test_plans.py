@@ -173,3 +173,14 @@ def test_olap7_windows_partition_by_user(spark, sf_dir):
     for ln in plan.splitlines():
         if "Window" in ln and "windowspecdefinition" in ln:
             assert "user_id" in ln, ln
+
+
+def test_olap8_single_scan_no_join(spark, sf_dir):
+    """olap8: cohort day and the distinct-day set aggregate in ONE
+    partial/final pass over ONE events scan — the rejected join shape had
+    two scans and a per-user build side that only broadcasts at toy
+    scale."""
+    plan = _plan(spark, sf_dir, "olap8_retention_cohorts")
+    assert plan.count("Scan parquet") + plan.count("Scan ExistingRDD") == 1
+    assert "Join" not in plan
+    assert "partial_collect_set" in plan

@@ -501,17 +501,22 @@ def olap8_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort, day-offset). Row (c, 0) is cohort size; n_active/cohort-size
     by offset is the retention curve a dashboard draws.
 
-    Scale posture: cohort assignment is a user-keyed groupBy; the activity
-    set is a (user, day) distinct — both partial-aggregate map-side and
-    both shuffle on user_id, so the join is co-partitioned (one logical
-    partitioning serves agg+agg+join; AQE coalesces). The result is tiny
-    (days × offsets), never wider than the calendar² regardless of event
-    volume."""
+    Scale posture: ONE events scan and ONE user-keyed exchange — cohort day
+    and the distinct-day set aggregate together (min + collect_set, both
+    map-side combinable), then offsets explode from the bounded per-user
+    day set (≤ calendar days per user, so array width is capped by the
+    observation window, not event volume). The naive
+    first-day ⋈ (user, day)-distinct join shape was inspected and rejected:
+    two scans, three exchanges, and a per-user build side that only
+    broadcasts at toy scale. The result is tiny (days × offsets)."""
     ev = spark.table("events")
-    firstday = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_d"))
-    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_d"), F.collect_set("d").alias("days"))
+    )
     return (
-        activity.join(firstday, "user_id")
+        per_user.select("cohort_d", F.explode("days").alias("d"))
         .groupBy(
             F.col("cohort_d").cast("string").alias("cohort_d"),
             F.datediff("d", "cohort_d").alias("day_offset"),
