@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "pipe8_shard_manifest",
     "olap8_retention_cohorts",
     "a16_mode_median",
+    "sql3_shipping_priority",
+    "sql4_order_priority_check",
 ]
 
 

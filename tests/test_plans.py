@@ -184,3 +184,19 @@ def test_olap8_single_scan_no_join(spark, sf_dir):
     assert plan.count("Scan parquet") + plan.count("Scan ExistingRDD") == 1
     assert "Join" not in plan
     assert "partial_collect_set" in plan
+
+
+def test_sql3_topk_and_broadcast_dim(spark, sf_dir):
+    """sql3: LIMIT-over-ORDER BY must run as TakeOrderedAndProject and the
+    segment-filtered customer dim must broadcast."""
+    plan = _plan(spark, sf_dir, "sql3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to the scan
+
+
+def test_sql4_exists_becomes_semi_join(spark, sf_dir):
+    """sql4: correlated EXISTS with a non-equi conjunct still plans as a
+    left semi join (the date comparison rides as the join condition)."""
+    plan = _plan(spark, sf_dir, "sql4_order_priority_check")
+    assert "LeftSemi" in plan

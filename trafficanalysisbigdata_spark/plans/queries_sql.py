@@ -55,3 +55,52 @@ register_sql(
     doc="Correlated EXISTS via spark.sql — Catalyst rewrites it to a left "
     "semi join (only join keys shuffle), the J3 shape expressed as SQL.",
 )
+
+register_sql(
+    "sql3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("sql", "join", "topk", "tpch"),
+    tables=("customer", "orders", "lineitem"),
+    doc="TPC-H Q3 shape via spark.sql — segment-filtered customer dim "
+    "(broadcast) against orders⋈lineitem with date predicates pushed to "
+    "both fact scans, decimal-exact revenue, deterministic top-10 "
+    "(revenue DESC, l_orderkey tie-break makes LIMIT stable across "
+    "engines). Catalyst runs the LIMIT as TakeOrderedAndProject.",
+)
+
+register_sql(
+    "sql4_order_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "subquery", "semi", "tpch"),
+    tables=("orders", "lineitem"),
+    doc="TPC-H Q4 shape via spark.sql — correlated EXISTS with a "
+    "non-equi conjunct (l_shipdate > o_orderdate): Catalyst still plans a "
+    "left semi join on l_orderkey carrying the date comparison as the "
+    "join condition, with the quarter filter pushed to the orders scan.",
+)
