@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "a16_mode_median",
     "sql3_shipping_priority",
     "sql4_order_priority_check",
+    "f21_geo_cell_counts",
 ]
 
 

@@ -76,3 +76,59 @@ def f18_reproject_epsg2263(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo.epsg2263_lon(F.col("x_ft"), F.col("y_ft")), 6).alias("lon"),
         F.round(geo.epsg2263_lat(F.col("x_ft"), F.col("y_ft")), 6).alias("lat"),
     )
+
+
+@register(
+    "f21_geo_cell_counts",
+    oracle=f"""
+    WITH g AS ({_GEO_ORACLE})
+    SELECT CAST(floor(lon / 0.02) AS BIGINT) AS cell_lon,
+           CAST(floor(lat / 0.02) AS BIGINT) AS cell_lat,
+           COUNT(*) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM g
+    GROUP BY 1, 2 ORDER BY cell_lon, cell_lat
+    """,
+    tags=("functions", "geo", "cells", "dashboard"),
+    tables=("events",),
+)
+def f21_geo_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-tile cell aggregation — the dashboard heat-map layer (ref
+    Dash.py renders per-point scatter; a 100 TB engine aggregates to fixed
+    grid cells server-side and ships cells, not points). Reuses f18's
+    Catalyst Lambert inverse, buckets the rounded lat/lon into 0.02-degree
+    cells (~2 km), and counts per cell; the oracle nests the identical
+    projection CTE chain.
+
+    Scale posture: projection is whole-stage-codegen column math on the
+    scan, the only shuffle is the partial/final cell-count agg (bounded by
+    grid size, not event volume) — the cells table a tile server reads is
+    calendar-independent and tiny. Flooring the ROUNDED 6-dp coordinates
+    keeps the cell assignment engine-identical even for points within float
+    noise of a cell edge."""
+    ev = spark.table("events").filter(F.col("event_id") < 1000)
+    pts = ev.select(
+        "event_id",
+        (F.lit(913000.0) + (F.col("event_id") * 7919) % 155000)
+        .cast("double")
+        .alias("x_ft"),
+        (F.lit(120000.0) + (F.col("event_id") * 104729) % 152000)
+        .cast("double")
+        .alias("y_ft"),
+    )
+    proj = pts.select(
+        "event_id",
+        F.round(geo.epsg2263_lon(F.col("x_ft"), F.col("y_ft")), 6).alias("lon"),
+        F.round(geo.epsg2263_lat(F.col("x_ft"), F.col("y_ft")), 6).alias("lat"),
+    )
+    return (
+        proj.groupBy(
+            F.floor(F.col("lon") / 0.02).cast("bigint").alias("cell_lon"),
+            F.floor(F.col("lat") / 0.02).cast("bigint").alias("cell_lat"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+        )
+        .orderBy("cell_lon", "cell_lat")
+    )
