@@ -30,7 +30,7 @@ Dial settings at 10× (each documented at its definition):
          ~n²·L/2^P, so +2 planes ÷4 the collision rate while OR-amplified
          recall stays high (L=16 tables).
 
-Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm]`` — one size per
+Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm|streaming]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
 /tmp/spark_graft_rehearsal). ``joins`` runs the TPC-H-ish join/agg family at
 1× and 10× in one invocation (10× fact tables derived from sf0.1 by
@@ -398,6 +398,96 @@ def run_mm_mode(spark) -> None:
         print(f"mm_{tag}: " + json.dumps(result))
 
 
+def gen_stream_events(spark, n_rows: int, path: str, n_files: int = 8) -> None:
+    """Deterministic event stream staged as n_files parquet files (each file
+    = one potential micro-batch under maxFilesPerTrigger)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        # 1704067200 = 2024-01-01T00:00:00 UTC
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") * 7919) % (30 * 24 * 3600)
+        ).alias("ts"),
+        ((F.col("id") * 104729) % max(n_rows // 10, 1)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("view", "click", "purchase", "signup", "error")]),
+            ((F.col("id") % 5) + 1).cast("int"),
+        ).alias("event_type"),
+        (((F.col("id") * 31) % 10000) / 100.0).alias("value"),
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def run_streaming_family(spark, src: str, n_rows: int, ckpt_base: str) -> dict:
+    """Throughput of the REAL streaming operators (AvailableNow, 4 forced
+    micro-batches via maxFilesPerTrigger=2 over 8 staged files): watermarked
+    tumbling-window agg, watermark-bounded dedup, applyInPandasWithState
+    running totals. Per-op wall seconds; rows/sec = n_rows / wall."""
+    import uuid
+
+    from trafficanalysisbigdata_spark.streaming.dedup import streaming_dedup
+    from trafficanalysisbigdata_spark.streaming.stateful import stateful_running_totals
+    from trafficanalysisbigdata_spark.streaming.windows import watermarked_tumbling_hourly
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+    ops = {
+        "st_tumbling_agg": lambda: (watermarked_tumbling_hourly(stream()), "append"),
+        "st_watermark_dedup": lambda: (
+            streaming_dedup(stream(), ["user_id", "event_type"], delay="2 hours"),
+            "append",
+        ),
+        "st_stateful_totals": lambda: (
+            stateful_running_totals(stream().select("event_id", "user_id", "value")),
+            "update",
+        ),
+    }
+    out = {}
+    for name, fn in ops.items():
+        df, mode = fn()
+        ck = os.path.join(ckpt_base, f"{name}_{uuid.uuid4().hex[:8]}")
+        t0 = time.perf_counter()
+        q = (
+            df.writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        out[name] = round(wall, 2)
+        out[name + "_rows_per_s"] = int(n_rows / wall)
+        print(f"  {name}: {out[name]}s ({out[name + '_rows_per_s']} rows/s)", file=sys.stderr, flush=True)
+    return out
+
+
+def run_streaming_mode(spark) -> None:
+    import tempfile
+
+    for tag, n in {"1x": 100_000, "10x": 1_000_000}.items():
+        sp = f"{BASE}/stream_{tag}"
+        if not os.path.exists(f"{sp}/_SUCCESS"):
+            gen_stream_events(spark, n, sp)
+        print(f"--- streaming {tag} ({n} rows, 4 micro-batches) ---", file=sys.stderr)
+        ck = tempfile.mkdtemp(prefix=f"reh_stream_{tag}_")
+        run_streaming_family(spark, sp, n, ck)  # warmup (codegen + state store init)
+        passes = [
+            run_streaming_family(spark, sp, n, tempfile.mkdtemp(prefix=f"reh_stream_{tag}_"))
+            for _ in range(3)
+        ]
+        result = {op: min(p[op] for p in passes) for op in passes[0]}
+        print(f"streaming_{tag}: " + json.dumps(result))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -422,6 +512,9 @@ def main() -> None:
         return
     if wanted == ["mm"]:
         run_mm_mode(spark)
+        return
+    if wanted == ["streaming"]:
+        run_streaming_mode(spark)
         return
     for tag in wanted:
         n = all_sizes[tag]
