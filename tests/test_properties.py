@@ -98,3 +98,83 @@ def test_pack_sequences_invariants(spark, token_counts, seq_len):
             assert r.end_seq == (r.start_off + r.n_tokens - 1) // seq_len
             assert r.straddles == int(r.end_seq > r.seq_id)
             off += r.n_tokens
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_int8_quantization_invariants(spark, vecs):
+    """For ANY float vectors (including all-zero): |q_i| <= 127, the max-|x|
+    component quantizes to exactly ±127 (unless the vector is all-zero,
+    which must quantize to all zeros), and sign is preserved wherever
+    |x_i| is large enough to survive rounding."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators.similarity import int8_quantized
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = df.select("vec_id", F.col("embedding"), int8_quantized()).collect()
+    for r in rows:
+        emb, q = r.embedding, r.qv
+        assert len(q) == len(emb)
+        assert all(abs(x) <= 127 for x in q)
+        if max(abs(x) for x in emb) == 0.0:
+            assert all(x == 0 for x in q)
+        else:
+            assert max(abs(x) for x in q) == 127
+            for x, qx in zip(emb, q):
+                if qx != 0:
+                    assert (x > 0) == (qx > 0)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12).map(
+            lambda ts: " ".join(ts)
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_duplicate_span_stats_invariants(spark, texts):
+    """For ANY corpus: 0 <= n_dup <= n_shingles, dup_frac in [0,1], docs
+    under n tokens are absent, and two docs with identical >=n-token text
+    must both report dup_frac == 1.0 (every span is cross-doc)."""
+    from trafficanalysisbigdata_spark.operators.dedup import duplicate_span_stats
+
+    n = 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in duplicate_span_stats(docs, n=n).collect()}
+    tok = {i: t.split(" ") if t else [] for i, t in enumerate(texts)}
+    for i, toks in tok.items():
+        n_tok = len([t for t in toks if t])
+        if n_tok < n:
+            assert i not in rows
+            continue
+        r = rows[i]
+        assert r.n_shingles == n_tok - n + 1
+        assert 0 <= r.n_dup <= r.n_shingles
+        assert 0.0 <= r.dup_frac <= 1.0
+    dup_texts = {}
+    for i, t in enumerate(texts):
+        if len(tok[i]) >= n and all(tok[i]):
+            dup_texts.setdefault(t, []).append(i)
+    for t, ids in dup_texts.items():
+        if len(ids) >= 2:
+            for i in ids:
+                assert rows[i].dup_frac == 1.0
