@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "sql3_shipping_priority",
     "sql4_order_priority_check",
     "f21_geo_cell_counts",
+    "sim8_hash_ivf_indexed_topk",
 ]
 
 

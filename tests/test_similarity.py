@@ -192,3 +192,41 @@ def test_int8_quantized_topk_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"int8 recall too low: {recall}"
+
+
+def test_hash_ivf_index_pruning_and_recall(spark, tmp_path):
+    """sim8's operator: the deterministic-quantizer index must ALSO prune
+    the assignments scan to probed cells (same layout payoff as the k-means
+    index), and on a clustered fixture the hash-sampled quantizer must
+    still recover most of the exact top-5 (hash-sampling picks ~uniformly
+    across clusters, so cells track true structure when structure exists)."""
+    import numpy as np
+
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        build_hash_ivf_index,
+        hash_ivf_topk_indexed,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 16) * 5.0
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, [float(x) for x in centers[c] + rng.randn(16) * 0.3]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") < 10)
+
+    index_dir = str(tmp_path / "hash_ivf_index")
+    build_hash_ivf_index(emb, index_dir, n_clusters=16)
+    indexed = hash_ivf_topk_indexed(spark, index_dir, probes, k=5, n_probe=4)
+    got = {(r.query_id, r.neighbor_id) for r in indexed.collect()}
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.7, f"hash-IVF recall too low: {recall}"
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

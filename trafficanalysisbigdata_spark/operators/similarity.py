@@ -620,3 +620,120 @@ def quantized_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def hash_sampled_centroids(
+    corpus: DataFrame, n_clusters: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_clusters`` corpus vectors with
+    the smallest md5(id) (a uniform hash-sample — dd5's trick, promoted to a
+    shared operator). (cl, center) with cl = dense 0-based rank in hash
+    order; re-derivable in ANSI SQL, no stored model, and a
+    TakeOrderedAndProject pick (never a full sort)."""
+    w = Window.orderBy("__h", "src_id")
+    return (
+        corpus.select(
+            F.col(id_col).alias("src_id"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            as_double(F.col(vec_col)).alias("center"),
+        )
+        .orderBy("__h", "src_id")
+        .limit(n_clusters)
+        .withColumn("cl", (F.row_number().over(w) - 1).cast("int"))
+        .select("cl", "center")
+    )
+
+
+def build_hash_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a DETERMINISTIC IVF index: same layout and query path as
+    ``build_ivf_index`` (assignments partitioned by ``cl`` + centroids
+    table) but with the hash-sampled quantizer, so the whole lifecycle —
+    build, persist, probe, re-rank — is expressible in ANSI SQL and
+    value-oracle-checked (sim8). k-means (sim5/sim6) gives tighter cells on
+    clustered corpora; the hash-sampled quantizer gives auditability —
+    production systems run exactly this trade as 'random-projection vs
+    learned coarse quantizer'.
+
+    Assignment is a broadcast cross join (corpus × k tiny centroids)
+    reduced by a map-side-combinable max(struct(cos, -cl, vec)) — dd5's
+    argmax shape; rounded-6 cosine keeps the cell decision engine-exact."""
+    centers = hash_sampled_centroids(corpus, n_clusters, id_col, vec_col)
+    assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(centers))
+        .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cos"),
+                    (-F.col("cl")).alias("__negcl"),
+                    F.col("vec").alias("__vec"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "neighbor_id",
+            F.col("m.__vec").alias("vec"),
+            norm(as_double(F.col("m.__vec"))).alias("cn"),
+            (-F.col("m.__negcl")).cast("int").alias("cl"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cl").parquet(f"{index_dir}/assignments")
+    centers.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def hash_ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the deterministic IVF index: probes shortlist their ``n_probe``
+    nearest centroids by ROUNDED COSINE (desc, cl tie-break — unlike
+    ``_ivf_query``'s squared-distance shortlist, the rounded cosine is
+    engine-exact, which is what lets the oracle reproduce the shortlist),
+    then exact re-rank within probed cells only (dynamic partition pruning
+    on the ``cl=`` layout)."""
+    assigned = spark.read.parquet(f"{index_dir}/assignments")
+    centers = spark.read.parquet(f"{index_dir}/centroids")
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(as_double(F.col(vec_col))).alias("qn"),
+    )
+    wshort = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cl"))
+    shortlist = (
+        p.crossJoin(F.broadcast(centers))
+        .withColumn("c", F.round(cosine(F.col("query_vec"), F.col("center")), 6))
+        .withColumn("rn", F.row_number().over(wshort))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "query_vec", "qn", "cl")
+    )
+    scored = (
+        shortlist.join(assigned, "cl")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenorm(F.col("query_vec"), F.col("vec"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -331,3 +331,88 @@ def sim7_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings")
     return quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "sim8_hash_ivf_indexed_topk",
+    oracle="""
+    WITH cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INT) AS cl,
+             CAST(embedding AS DOUBLE[]) AS center
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ), assign AS (
+      SELECT e.vec_id, c.cl,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     c.center), 6) DESC,
+                        c.cl) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ), cells AS (
+      SELECT vec_id, cl FROM assign WHERE rn = 1
+    ), short AS (
+      SELECT p.vec_id AS query_id, c.cl,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                     c.center), 6) DESC,
+                        c.cl) AS srn
+      FROM embeddings p CROSS JOIN cent c
+      WHERE p.vec_id < 10
+    ), cand AS (
+      SELECT s.query_id, m.vec_id AS neighbor_id
+      FROM short s JOIN cells m ON m.cl = s.cl
+      WHERE s.srn <= 4 AND m.vec_id <> s.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])), 6) AS cos
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings n ON n.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "ivf", "index", "deterministic"),
+    tables=("embeddings",),
+)
+def sim8_hash_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-IVF lifecycle, fully value-oracle-checked: build once
+    (hash-sampled deterministic quantizer — dd5's trick — into the same
+    partitioned-by-cl layout as sim6), then query with a rounded-cosine
+    centroid shortlist + exact re-rank inside probed cells only. sim6 keeps
+    the k-means quantizer (tighter cells, no SQL twin — rows-only check);
+    sim8 trades cell tightness for end-to-end auditability, so the
+    index-build, the cell membership, the shortlist AND the final ranking
+    are all pinned bit-for-bit by the DuckDB oracle. Cache keyed on source
+    mtime+size; gated on the last-written artifact (centroids/_SUCCESS) so
+    a torn build rebuilds instead of poisoning later runs."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import build_hash_ivf_index, hash_ivf_topk_indexed
+
+    emb = spark.table("embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    key = hashlib.md5(f"hashivf|{sf_dir}|{stamp}".encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_hivf_{key}")
+    complete = os.path.exists(
+        os.path.join(index_dir, "centroids", "_SUCCESS")
+    ) and os.path.exists(os.path.join(index_dir, "assignments", "_SUCCESS"))
+    if not complete:
+        build_hash_ivf_index(emb, index_dir, n_clusters=16)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return hash_ivf_topk_indexed(spark, index_dir, probes, k=5, n_probe=4)
