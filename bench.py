@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "sql4_order_priority_check",
     "f21_geo_cell_counts",
     "sim8_hash_ivf_indexed_topk",
+    "dd8_incremental_dedup",
 ]
 
 

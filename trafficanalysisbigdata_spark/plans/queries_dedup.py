@@ -341,3 +341,119 @@ def dd7_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_span_stats
 
     return duplicate_span_stats(spark.table("documents"), n=5).orderBy("doc_id")
+
+
+@register(
+    "dd8_incremental_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, text, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 < 0.75 AS in_corpus
+      FROM documents
+    ), corpus_fp AS (
+      SELECT DISTINCT md5(text) AS fp FROM u WHERE in_corpus
+    ), inc AS (
+      SELECT doc_id, text, lang,
+             md5(text) IN (SELECT fp FROM corpus_fp) AS is_exact
+      FROM u WHERE NOT in_corpus
+    ), corpus_keys AS (
+      SELECT DISTINCT md5(sh) AS k FROM (
+        SELECT UNNEST(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh
+        FROM u WHERE in_corpus)
+    ), inc_post AS (
+      SELECT DISTINCT doc_id, md5(sh) AS k FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh
+        FROM inc WHERE NOT is_exact)
+    ), near AS (
+      SELECT p.doc_id FROM inc_post p JOIN corpus_keys c USING (k)
+      GROUP BY p.doc_id HAVING COUNT(*) >= 10
+    )
+    SELECT i.lang,
+           COUNT(*) AS n_increment,
+           CAST(SUM(CASE WHEN i.is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(CASE WHEN NOT i.is_exact AND n.doc_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_near_flagged,
+           CAST(SUM(CASE WHEN NOT i.is_exact AND n.doc_id IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM inc i LEFT JOIN near n ON n.doc_id = i.doc_id
+    GROUP BY i.lang ORDER BY i.lang
+    """,
+    tags=("dedup", "incremental", "llm-pipeline"),
+    tables=("documents",),
+)
+def dd8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the gate a production corpus runs on every
+    NEW batch, where re-deduping the whole corpus (dd1–dd7's shape) would
+    rescan petabytes: the increment (25% hash-split of documents, standing
+    in for today's crawl) is checked against the standing corpus in two
+    tiers. Tier 1: exact, a semi-join of md5(text) fingerprints. Tier 2 for
+    survivors: near-dup candidacy by OVERLAP VOLUME — ≥ 10 distinct 5-token
+    shingles shared with the corpus. Returns the per-language ingest report
+    (n_increment / n_exact_dup / n_near_flagged / n_clean).
+
+    vs pipe5 (decontamination): pipe5 asks does ANY train shingle touch
+    this eval doc (MAX flag over a window); dd8 tiers exact-before-near,
+    thresholds on shared-shingle COUNT (a Jaccard-numerator candidate
+    filter — dd4's verify is the optional third tier), and accounts every
+    increment doc into exactly one bucket.
+
+    Scale posture: every join is INCREMENT-side-bounded — the corpus
+    contributes only its distinct fingerprint and shingle-key sets (skinny
+    16-byte keys, partial-agg'd map-side; at 100 TB these are the
+    pre-computed, incrementally-maintained index tables a lakehouse keeps
+    next to the corpus rather than re-deriving). Hot boilerplate shingles
+    get the dd4 df-cap; the per-doc overlap count is a partial-aggregable
+    groupBy on (doc, k) pairs from the increment only."""
+    from .queries_pipeline import _hash_frac
+    from ..functions.text import token_ngrams
+
+    docs = spark.table("documents").withColumn(
+        "in_corpus", _hash_frac(F.col("doc_id")) < 0.75
+    )
+    corpus = docs.filter(F.col("in_corpus"))
+    corpus_fp = corpus.select(F.md5("text").alias("fp")).distinct()
+    inc = (
+        docs.filter(~F.col("in_corpus"))
+        .withColumn("fp", F.md5("text"))
+        .join(corpus_fp.withColumn("__hit", F.lit(1)), "fp", "left")
+        .select("doc_id", "text", "lang", F.col("__hit").isNotNull().alias("is_exact"))
+    )
+    corpus_keys = (
+        corpus.select(F.explode(token_ngrams(F.col("text"), 5)).alias("sh"))
+        .select(F.md5("sh").alias("k"))
+        .distinct()
+    )
+    inc_post = (
+        inc.filter(~F.col("is_exact"))
+        .select("doc_id", F.explode(token_ngrams(F.col("text"), 5)).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("k"))
+        .distinct()
+    )
+    near = (
+        inc_post.join(corpus_keys, "k")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 10)
+        .select("doc_id", F.lit(True).alias("is_near"))
+    )
+    return (
+        inc.join(near, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_increment"),
+            F.sum(F.col("is_exact").cast("bigint")).alias("n_exact_dup"),
+            F.sum(
+                (~F.col("is_exact") & F.col("is_near").isNotNull()).cast("bigint")
+            ).alias("n_near_flagged"),
+            F.sum(
+                (~F.col("is_exact") & F.col("is_near").isNull()).cast("bigint")
+            ).alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
