@@ -7,29 +7,43 @@ coalescing) demonstrably activate, with results unchanged.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+# Skew thresholds lowered so a test-sized hot key trips the same machinery a
+# TB-scale hot key trips in production (shuffle bytes are compressed, so the
+# default 256MB thresholds need real data volume); broadcast disabled to
+# force the shuffled-join path under test.
+_CONF = {
+    "spark.sql.shuffle.partitions": "16",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
 
-@pytest.fixture(scope="module")
-def skew_spark():
-    """Dedicated session: skew thresholds lowered so a test-sized hot key
-    trips the same machinery a TB-scale hot key trips in production (shuffle
-    bytes are compressed, so default 256MB thresholds need real data
-    volume); broadcast disabled to force the shuffled-join path under test."""
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("aqe-receipts")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
-        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-        .getOrCreate()
-    )
+
+@pytest.fixture()
+def skew_spark(spark):
+    """The SHARED session with skew confs applied and RESTORED afterwards —
+    a builder.config(...).getOrCreate() here would silently rewrite the
+    runtime conf of the session every other test module uses (observed:
+    autoBroadcastJoinThreshold=-1 leaking into test_plans' broadcast
+    guards)."""
+    saved = {}
+    for k, v in _CONF.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
     yield spark
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def test_aqe_skew_join_split_activates(skew_spark):
