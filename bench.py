@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "f21_geo_cell_counts",
     "sim8_hash_ivf_indexed_topk",
     "dd8_incremental_dedup",
+    "s16_incremental_agg_refresh",
+    "w9_running_distinct_users",
 ]
 
 

@@ -373,3 +373,83 @@ def test_zorder_footers_are_boxes_on_both_dims(spark, sf_dir, tmp_path):
     want = ev.filter(box)
     assert got.count() == want.count()
     assert got.agg(F.sum("event_id")).first()[0] == want.agg(F.sum("event_id")).first()[0]
+
+
+def test_incremental_agg_refresh_prunes_and_preserves(spark, sf_dir, tmp_path):
+    """s16's maintenance contract: (a) the refresh's fact scan is pruned to
+    the corrected day's partition; (b) every non-target AGG partition is
+    byte-identical across the refresh; (c) the refreshed agg table equals a
+    full recompute over the corrected fact lake."""
+    import os
+
+    from trafficanalysisbigdata_spark.io import load_table
+
+    prep(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("d", F.to_date("ts").cast("string"))
+    )
+    fact = str(tmp_path / "fact")
+    agg = str(tmp_path / "agg")
+    ev.write.partitionBy("d").mode("overwrite").parquet(fact)
+
+    def day_agg(df):
+        return df.groupBy("d").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
+        )
+
+    day_agg(spark.read.parquet(fact)).write.partitionBy("d").mode(
+        "overwrite"
+    ).parquet(agg)
+
+    def snapshot(base):
+        parts = {}
+        for entry in os.listdir(base):
+            if entry.startswith("d="):
+                pdir = os.path.join(base, entry)
+                parts[entry] = {
+                    f: (os.path.getsize(os.path.join(pdir, f)),
+                        os.path.getmtime(os.path.join(pdir, f)))
+                    for f in os.listdir(pdir)
+                    if not f.startswith(".")
+                }
+        return parts
+
+    before = snapshot(agg)
+    last_day = ev.agg(F.max("d")).first()[0]
+    corr = ev.filter(F.col("d") == last_day).withColumn("value", F.col("value") * 2)
+    corr.write.option("partitionOverwriteMode", "dynamic").partitionBy("d").mode(
+        "overwrite"
+    ).parquet(fact)
+
+    changed = spark.read.parquet(fact).filter(F.col("d") == last_day)
+    # (a) partition pruning on the refresh scan
+    plan = changed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and last_day in plan, plan
+
+    day_agg(changed).write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        "d"
+    ).mode("overwrite").parquet(agg)
+
+    # (b) untouched agg partitions byte-identical
+    after = snapshot(agg)
+    target = f"d={last_day}"
+    assert set(after) == set(before)
+    for part in before:
+        if part == target:
+            assert after[part] != before[part]
+        else:
+            assert after[part] == before[part], f"{part} touched by refresh"
+
+    # (c) incremental result == full recompute
+    inc = {
+        (r.d, r.n, float(r.total_dec))
+        for r in spark.read.parquet(agg).collect()
+    }
+    full = {
+        (r.d, r.n, float(r.total_dec))
+        for r in day_agg(spark.read.parquet(fact)).collect()
+    }
+    assert inc == full

@@ -508,3 +508,90 @@ def s15_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").cast("bigint").alias("min_u"),
         F.max("user_id").cast("bigint").alias("max_u"),
     )
+
+
+@register(
+    "s16_incremental_agg_refresh",
+    oracle="""
+    WITH merged AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CASE WHEN CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+                  THEN value * 2 ELSE value END AS value
+      FROM events
+    )
+    SELECT CAST(d AS VARCHAR) AS d,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           (d = (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS refreshed
+    FROM merged GROUP BY d ORDER BY d
+    """,
+    tags=("sink", "materialized-view", "incremental"),
+    tables=("events",),
+)
+def s16_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the step AFTER s14's
+    upsert: a day-partitioned AGGREGATE table (the daily-totals dashboard
+    feed, A4's shape) is kept consistent with the fact lake by recomputing
+    ONLY the corrected day and dynamic-overwriting that one agg partition.
+    The reference recomputes every dashboard number from the full frame on
+    each refresh (Dash.py); a 100 TB lake refreshes changed partitions.
+
+    Flow: fact lake partitioned by day → agg v0 (per-day n/total, also
+    day-partitioned) → correction batch doubles the last day's values
+    (s14's delta, dynamic partition overwrite on the fact) → incremental
+    refresh reads ONLY the corrected day's fact partition (partition-pruned
+    scan, pinned in tests) and swaps ONLY that agg partition. The returned
+    agg table must equal the oracle's full recompute over the CASE-merged
+    events — stale rows anywhere, double-counting, or a missed partition
+    all break the match. The ``refreshed`` flag marks which day was
+    maintained incrementally (exactly the max day).
+
+    Scale posture: refresh cost ∝ changed partitions on BOTH the fact scan
+    (partition pruning) and the agg write (one-partition dynamic
+    overwrite) — table size appears nowhere. The untouched agg partitions'
+    files are asserted byte-identical in tests/test_operator_edges.py-style
+    in tests/test_plans.py's companion."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("d", F.to_date("ts").cast("string"))
+    )
+    work = tempfile.mkdtemp(prefix=f"s16_{os.getpid()}_")
+    fact = os.path.join(work, "fact")
+    agg = os.path.join(work, "agg_daily")
+    ev.write.partitionBy("d").mode("overwrite").parquet(fact)
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("d").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
+        )
+
+    # v0 of the materialized aggregate
+    day_agg(spark.read.parquet(fact)).write.partitionBy("d").mode(
+        "overwrite"
+    ).parquet(agg)
+
+    # correction lands on the fact lake (s14's machinery)
+    last_day = ev.agg(F.max("d")).first()[0]
+    correction_delta(ev, last_day).write.option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("d").mode("overwrite").parquet(fact)
+
+    # incremental refresh: recompute ONLY the corrected day from the pruned
+    # fact partition, swap only that agg partition
+    changed = spark.read.parquet(fact).filter(F.col("d") == last_day)
+    day_agg(changed).write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        "d"
+    ).mode("overwrite").parquet(agg)
+
+    back = spark.read.parquet(agg)
+    return (
+        back.select(
+            F.col("d").cast("string").alias("d"),
+            "n",
+            F.col("total_dec").cast("double").alias("total"),
+            (F.col("d").cast("string") == last_day).alias("refreshed"),
+        )
+        .orderBy("d")
+    )

@@ -277,3 +277,66 @@ def w8_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "observed",
         F.last("observed", ignorenulls=True).over(w).alias("filled"),
     ).orderBy("d")
+
+
+@register(
+    "w9_running_distinct_users",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ), new_users AS (
+      SELECT CAST(first_d AS VARCHAR) AS d, COUNT(*) AS n_new FROM firstday GROUP BY 1
+    )
+    SELECT daily.d, dau,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY daily.d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily LEFT JOIN new_users ON new_users.d = daily.d
+    ORDER BY daily.d
+    """,
+    tags=("windows", "distinct", "growth"),
+    tables=("events",),
+)
+def w9_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT-user count by day — the growth-curve metric a
+    windowed COUNT(DISTINCT) cannot express (Spark rejects DISTINCT in
+    window frames, and any engine that accepted it would drag per-user
+    state through every frame). The scalable decomposition: distinct is a
+    FIRST-SEEN event, so cumulative-distinct = running sum of per-day
+    first-seen counts — one user-keyed groupBy (min day) + a running sum
+    over the tiny daily series.
+
+    Scale posture: the heavy lifting is two partial/final aggs (per-user
+    min; per-day counts) that shuffle user-sized and day-sized rows; the
+    only window runs over one row per DAY — calendar-bounded, safe
+    unpartitioned (w2's documented exception). At 100 TB the same shape
+    maintains incrementally: yesterday's cum_users + today's first-seen
+    count (s16's refresh pattern)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.table("events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d")
+    )
+    daily = (
+        ev.groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    new_users = firstday.groupBy(F.col("first_d").cast("string").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_users, "d", "left")
+        .select(
+            "d",
+            "dau",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+        .orderBy("d")
+    )
