@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "dd8_incremental_dedup",
     "s16_incremental_agg_refresh",
     "w9_running_distinct_users",
+    "s17_variant_json_scan",
 ]
 
 

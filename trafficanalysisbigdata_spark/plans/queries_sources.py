@@ -595,3 +595,45 @@ def s16_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "s17_variant_json_scan",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("source", "variant", "json", "spark4"),
+    tables=("events",),
+)
+def s17_variant_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over semi-structured props via Spark 4's VARIANT type
+    (parse_json → variant_get): the modern replacement for s4's
+    from_json-with-declared-schema when the JSON shape drifts — VARIANT
+    stores a binary-shredded encoding, paths are extracted lazily, and no
+    pipeline redeploy is needed when producers add fields. The reference
+    hand-rolls dict access on raw JSON (TrafficAnalysis.py:57-58); a 100 TB
+    semi-structured event lake stores VARIANT columns and pays extraction
+    only for paths actually queried.
+
+    The query filters on an extracted path then aggregates per type —
+    extraction + filter + partial/final agg in one scan, no UDFs. Oracle:
+    DuckDB's json_extract over the same strings."""
+    ev = spark.table("events")
+    k = F.expr("cast(variant_get(parse_json(props), '$.k', 'int') as int)")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
