@@ -394,3 +394,56 @@ def test_rate_limit_spans_fetcher_instances():
     mk()("p1")  # NEW instance, immediate call: must still wait
     assert slept == [2.0]
     P._RATE_STATE.pop(key, None)
+
+
+def test_paginated_stream_reader_incremental_exactly_once(spark, tmp_path):
+    """The streaming form of the paginated source (S1 as continuous ingest):
+    draining under AvailableNow consumes all current pages; a NEW page
+    appearing later plus a restart from the SAME checkpoint appends only the
+    new page's rows — offset tracking + readBetweenOffsets replay give
+    exactly-once across restarts, the property the reference's full-refetch
+    loop cannot have."""
+
+    from trafficanalysisbigdata_spark.session import prep
+    from trafficanalysisbigdata_spark.sources.paginated import (
+        PaginatedJsonDataSource,
+    )
+
+    prep(spark)
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    for i in range(0, 6, 3):
+        with open(pages / f"page-{i // 3:05d}.json", "w") as f:
+            for r in ROWS[i : i + 3]:
+                f.write(json.dumps(r) + "\n")
+
+    spark.dataSource.register(PaginatedJsonDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery, and recovery is exactly the property under test
+        q = (
+            spark.readStream.format("paginated_json")
+            .load(str(pages))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    ids_run1 = sorted(r.requestid for r in spark.read.parquet(out).collect())
+    assert ids_run1 == sorted(str(r["requestid"]) for r in ROWS[:6])
+
+    # a new page lands (the API produced new data); restart from checkpoint
+    with open(pages / "page-00002.json", "w") as f:
+        f.write(json.dumps(ROWS[6]) + "\n")
+    drain()
+    ids_run2 = sorted(r.requestid for r in spark.read.parquet(out).collect())
+    # exactly-once: run 1's pages are NOT re-ingested
+    assert ids_run2 == sorted(str(r["requestid"]) for r in ROWS[:7])
