@@ -453,3 +453,40 @@ def test_incremental_agg_refresh_prunes_and_preserves(spark, sf_dir, tmp_path):
         for r in day_agg(spark.read.parquet(fact)).collect()
     }
     assert inc == full
+
+
+def test_sink_queries_run_concurrently(spark, sf_dir):
+    """Round-6 ADVICE regression: s13/s15/s16/ops2 write scratch layouts —
+    per-process + per-run paths mean two concurrent executions of the SAME
+    sink queries must not clobber each other (the old fixed shared path
+    failed exactly here under bench + tests overlap). Runs the four
+    layout-writing queries in two racing threads and checks both get
+    identical, complete results."""
+    import threading
+
+    from trafficanalysisbigdata_spark.plans.registry import load_all
+
+    prep(spark)
+    specs = load_all()
+    names = ["s13_sorted_layout_scan", "s16_incremental_agg_refresh"]
+    results: dict[tuple[int, str], list] = {}
+    errors: list[Exception] = []
+
+    def run(tid: int):
+        try:
+            for n in names:
+                results[(tid, n)] = sorted(
+                    map(tuple, specs[n].run(spark, sf_dir).collect())
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+    assert not errors, errors
+    for n in names:
+        assert results[(0, n)] == results[(1, n)], f"{n} diverged across threads"
+        assert results[(0, n)], f"{n} returned no rows"

@@ -241,9 +241,7 @@ def s11_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — compaction must be a pure layout change, zero row/value drift;
     tests/test_operator_edges.py asserts the file counts actually collapse."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    base = os.path.join(
-        tempfile.gettempdir(), f"s11_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
-    )
+    base = tempfile.mkdtemp(prefix=f"s11_{os.getpid()}_")
     frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
@@ -280,9 +278,9 @@ def s12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bucketing.py (here, at driver SF, AQE rightly broadcasts)."""
     from ..io import write_partitioned
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"s12_{tag}_{os.getpid()}")
-    ot, ct = f"s12_orders_{tag}_{os.getpid()}", f"s12_cust_{tag}_{os.getpid()}"
+    base = tempfile.mkdtemp(prefix=f"s12_{os.getpid()}_")
+    run_tag = os.path.basename(base)
+    ot, ct = f"s12_orders_{run_tag}", f"s12_cust_{run_tag}"
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
@@ -341,12 +339,11 @@ def s13_sorted_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import write_sorted
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    # Per-process path: bench and pytest can run concurrently against the
-    # same fixture, and a shared overwrite-mode directory would let one
-    # process clobber the layout while the other reads it (flaky
-    # FileNotFound / row drift). Same keying idea as sim6's index dir.
-    path = os.path.join(tempfile.gettempdir(), f"s13_{tag}_{os.getpid()}")
+    # Per-RUN path (mkdtemp): a pid-keyed path protects against other
+    # processes but two concurrent runs in ONE driver (threads serving
+    # queries) still collided on the overwrite — found by the concurrency
+    # test in tests/test_operator_edges.py.
+    path = os.path.join(tempfile.mkdtemp(prefix=f"s13_{os.getpid()}_"), "sorted")
     write_sorted(ev, path, "ts", n_files=8)
     back = spark.read.parquet(path)
     lo = ev.agg(F.min("ts").alias("t0"))
@@ -485,8 +482,7 @@ def s15_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import write_zorder
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"s15_{tag}_{os.getpid()}")
+    path = os.path.join(tempfile.mkdtemp(prefix=f"s15_{os.getpid()}_"), "zorder")
     write_zorder(ev, path, "user_id", "value", n_files=8)
     back = spark.read.parquet(path)
 
