@@ -71,3 +71,30 @@ def test_from_paginated_equals_from_json(spark, tmp_path):
     a = [(r.borough, float(r.total)) for r in via_pages.borough_totals().collect()]
     b = [(r.borough, float(r.total)) for r in via_json.borough_totals().collect()]
     assert a == b and a
+
+
+def test_corpus_pipeline_facade_matches_registry(spark, sf_dir):
+    """CorpusPipeline must be a pure delegation surface: facade output ==
+    the registered query run the driver's way, for a representative of each
+    family (dedup summary, quality rollup, pipeline composite, shard
+    manifest), and the similarity path must work from the same object."""
+    from trafficanalysisbigdata_spark.corpus import CorpusPipeline
+    from trafficanalysisbigdata_spark.plans.registry import load_all
+
+    from pyspark.sql import functions as F
+
+    cp = CorpusPipeline.from_parquet(spark, sf_dir)
+    specs = load_all()
+    for facade_fn, qname in [
+        (cp.exact_dedup, "dd1_exact_dedup"),
+        (cp.quality_by_source, "tx2_quality_by_source"),
+        (cp.training_mix, "pipe7_temperature_resample"),
+        (cp.shard_manifest, "pipe8_shard_manifest"),
+    ]:
+        got = sorted(map(tuple, facade_fn().collect()))
+        want = sorted(map(tuple, specs[qname].run(spark, sf_dir).collect()))
+        assert got == want, qname
+
+    probes = cp.embeddings.filter(F.col("vec_id") < 3)
+    topk = cp.ann_topk(probes, k=3).collect()
+    assert len(topk) == 3 * 3
