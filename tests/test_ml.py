@@ -176,3 +176,26 @@ def test_m6_boosted_regressor_probe(spark, monkeypatch):
         "n_estimators": 20,
         "random_state": 7,
     }
+
+
+def test_tuned_rf_cv_ranges(spark, sf_dir):
+    """ml9: the CV sweep must pick params FROM the grid, its fold metrics
+    must cover the full grid (4 candidates), and test RMSE must land in the
+    same band as the untuned M1 fit (tuning on noise features can't win big,
+    but the machinery must not lose big either)."""
+    from trafficanalysisbigdata_spark.io import register_views
+    from trafficanalysisbigdata_spark.ml.models import tuned_rf_regression
+    from trafficanalysisbigdata_spark.session import prep
+
+    prep(spark)
+    register_views(spark, sf_dir, "events")
+    r = tuned_rf_regression(spark.table("events"))
+    assert r["best_num_trees"] in (20, 50)
+    assert r["best_max_depth"] in (3, 5)
+    assert len(r["avg_fold_rmse"]) == 4  # one avg metric per grid point
+    assert all(m > 0 for m in r["avg_fold_rmse"])
+    assert r["n_test"] > 0
+    # value ~ U(0,100)-ish noise vs weak features: RMSE near the data's
+    # own σ; r2 may hover at 0 but must not be catastrophically negative
+    assert 0 < r["rmse"] < 200
+    assert r["r2"] > -0.5

@@ -279,3 +279,60 @@ def quality_filter_model(docs: DataFrame) -> dict:
         "confusion": confusion,
         "n_test": pred.count(),
     }
+
+
+def tuned_rf_regression(events: DataFrame) -> dict:
+    """M-extension: distributed hyperparameter tuning for M1's regressor —
+    CrossValidator over a small (numTrees × maxDepth) grid with k=3 folds,
+    every fold-fit a distributed job and all parallelizable
+    (``parallelism=2``). The reference tunes nothing (fixed sklearn
+    hyperparameters); at cluster scale the CV grid is the standard next
+    step and Spark runs the folds' fits concurrently against the same
+    cached folds.
+
+    Returns the winning params + test metrics. Grid and folds are tiny by
+    design — the surface under test is the tuning machinery, not model
+    quality (metric RANGES are asserted in tests/test_ml.py like every
+    other fit)."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    df = feature_frame(events)
+    assembler = VectorAssembler(
+        inputCols=["user_id", "hour_of_day"], outputCol="features"
+    )
+    rf = RandomForestRegressor(featuresCol="features", labelCol="value", seed=SEED)
+    pipe = Pipeline(stages=[assembler, rf])
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, [20, 50])
+        .addGrid(rf.maxDepth, [3, 5])
+        .build()
+    )
+    evaluator = RegressionEvaluator(
+        labelCol="value", predictionCol="prediction", metricName="rmse"
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=3,
+        parallelism=2,
+        seed=SEED,
+    )
+    train, test = df.randomSplit([0.8, 0.2], seed=SEED)
+    model = cv.fit(train)
+    best = model.bestModel.stages[-1]
+    pred = model.transform(test)
+    rmse = evaluator.evaluate(pred)
+    r2 = RegressionEvaluator(
+        labelCol="value", predictionCol="prediction", metricName="r2"
+    ).evaluate(pred)
+    return {
+        "model": model,
+        "best_num_trees": best.getNumTrees,
+        "best_max_depth": best.getMaxDepth(),
+        "rmse": rmse,
+        "r2": r2,
+        "n_test": pred.count(),
+        "avg_fold_rmse": [float(m) for m in model.avgMetrics],
+    }

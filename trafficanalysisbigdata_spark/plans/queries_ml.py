@@ -131,3 +131,23 @@ def ml8_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "accuracy double, f1 double, keep_rate double, n_test long",
     )
+
+
+@register("ml9_tuned_rf_cv", oracle=None, tags=("ml", "tuning", "cv"), tables=("events",))
+def ml9_tuned_rf_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-extension: CrossValidator-tuned RF (3 folds × 4-point grid,
+    parallelism=2) — the distributed hyperparameter sweep the reference's
+    fixed sklearn settings imply. One row: winning params + test metrics."""
+    r = models.tuned_rf_regression(spark.table("events"))
+    return spark.createDataFrame(
+        [
+            (
+                int(r["best_num_trees"]),
+                int(r["best_max_depth"]),
+                float(r["rmse"]),
+                float(r["r2"]),
+                int(r["n_test"]),
+            )
+        ],
+        "best_num_trees long, best_max_depth long, rmse double, r2 double, n_test long",
+    )
