@@ -140,9 +140,13 @@ def load_all() -> dict[str, QuerySpec]:
 # and the round-6 additions dd7/sim7/pipe8/olap6/olap7.
 # Rotation policy: entries that have earned a driver-green row in a past
 # CORRECTNESS_r{N} rotate out in favor of never-sampled oracle-bearing
-# queries (round 6 rotated out dd1/dd3/dd4/sim1/sim2, all green in r1 —
-# still-unsampled after this round: st7-st9, s14, s15, ops2, pipe7, the
-# pre-window tail).
+# queries (round 6 rotated out dd1/dd3/dd4/sim1/sim2, all green in r1).
+# Still-unsampled oracle-bearing queries after this round's window — the
+# round-7 rotation pool: st7, st8, st9, s14, s15, s16, s17, ops2, pipe7,
+# olap8, a16, sql3, sql4, f21, sim8, dd8, w9, plus the pre-window tail
+# (a1-a15, p4-p9, s2-s12, f*, j*, t*, w1-w5, ing1) that went green in
+# r1-r5. All are continuously exact-checked by the local mirror
+# (tests/test_oracle_parity.py) regardless of window membership.
 # Everything else follows in registration order; the no-oracle queries
 # (ml1–ml8, sim5, sim6) sort last so the window is 100% oracle-checkable.
 _DRIVER_WINDOW = (
