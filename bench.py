@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "s16_incremental_agg_refresh",
     "w9_running_distinct_users",
     "s17_variant_json_scan",
+    "ops3_data_quality_checks",
+    "pipe9_source_canonicalize",
 ]
 
 

@@ -524,3 +524,101 @@ def olap8_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_d", "day_offset")
     )
+
+
+@register(
+    "ops3_data_quality_checks",
+    oracle="""
+    WITH checks AS (
+      SELECT 'events_null_user' AS check_name,
+             (SELECT COUNT(*) FROM events WHERE user_id IS NULL) AS n_violations
+      UNION ALL
+      SELECT 'events_dup_event_id',
+             (SELECT COUNT(*) FROM
+               (SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1))
+      UNION ALL
+      SELECT 'events_value_negative',
+             (SELECT COUNT(*) FROM events WHERE value < 0)
+      UNION ALL
+      SELECT 'events_ts_out_of_window',
+             (SELECT COUNT(*) FROM events
+              WHERE ts < TIMESTAMP '2000-01-01' OR ts >= TIMESTAMP '2100-01-01')
+      UNION ALL
+      SELECT 'orders_orphan_custkey',
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'lineitem_orphan_orderkey',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM checks ORDER BY check_name
+    """,
+    tags=("ops", "data-quality", "diagnostics"),
+    tables=("events", "orders", "customer", "lineitem"),
+)
+def ops3_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate — the dbt-test / expectations suite as ONE query:
+    null keys, duplicate primary keys, range violations, event-time
+    plausibility, and referential integrity (orders→customer,
+    lineitem→orders FKs via anti-joins), one row per check with a pass
+    flag. The report a pipeline blocks its publish step on; the reference
+    drops bad rows silently (dropna) — a lake also has to MEASURE them.
+
+    Scale posture: every check is a partial/final aggregate or a left-anti
+    join on the FK key (only keys shuffle; AQE handles dim-side broadcast
+    or skew); the six checks union into a 6-row frame, so the gate costs
+    roughly one scan per fact table regardless of result. Checks are data-
+    driven rows, not asserts — the SAME query serves alerting thresholds
+    ('fail publish if n_violations > 0.001 * n_rows')."""
+    ev = spark.table("events")
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    li = spark.table("lineitem")
+
+    def one(name: str, df_count: DataFrame) -> DataFrame:
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        one("events_null_user", ev.filter(F.col("user_id").isNull()).agg(F.count(F.lit(1)).alias("n"))),
+        one(
+            "events_dup_event_id",
+            ev.groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one("events_value_negative", ev.filter(F.col("value") < 0).agg(F.count(F.lit(1)).alias("n"))),
+        one(
+            "events_ts_out_of_window",
+            ev.filter(
+                (F.col("ts") < F.lit("2000-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2100-01-01").cast("timestamp"))
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "orders_orphan_custkey",
+            orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem_orphan_orderkey",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "check_name", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    ).orderBy("check_name")

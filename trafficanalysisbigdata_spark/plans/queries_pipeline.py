@@ -639,3 +639,60 @@ def pipe8_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "pipe9_source_canonicalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+                                    WHEN 'src2' THEN 2 ELSE 3 END,
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "dedup", "canonicalization", "llm-pipeline"),
+    tables=("documents",),
+)
+def pipe9_source_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source canonicalization — when the same text arrives from
+    multiple sources, keep ONE copy chosen by source PRIORITY (curated
+    beats crawl; src0 > src1 > src2 > src3 here), doc_id as the
+    deterministic tie-break. This is the dedup RETENTION POLICY layer the
+    dd-family deliberately leaves open: dd1 keeps min(doc_id); real corpus
+    builds keep the highest-provenance copy. Returns the per-source
+    keep/drop ledger — the provenance report a curation team signs off on.
+
+    Scale posture: one shuffle on md5(text) (16-byte key, text never
+    shuffles as the sort key); the per-fingerprint window extends over one
+    duplicate group (bounded by copy count, not corpus) — groups are tiny
+    so no AQE skew concern; the ledger is a partial/final agg per source."""
+    prio = (
+        F.when(F.col("source") == "src0", 0)
+        .when(F.col("source") == "src1", 1)
+        .when(F.col("source") == "src2", 2)
+        .otherwise(3)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy(prio, "doc_id")
+    ranked = spark.table("documents").select(
+        "source", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("bigint")).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
