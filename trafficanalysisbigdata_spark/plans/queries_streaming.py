@@ -426,3 +426,112 @@ def st9_watermark_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "st10_session_window_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 15
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+             SUM(CAST(value AS DECIMAL(18,6))) AS total_dec, COUNT(*) AS n
+      FROM numbered GROUP BY user_id, session_id
+    ), wm AS (
+      SELECT MAX(ts) AS w FROM events WHERE user_id < 15
+    )
+    SELECT user_id, CAST(session_start AS VARCHAR) AS session_start,
+           CAST(total_dec AS DOUBLE) AS total, n
+    FROM sess, wm
+    WHERE session_last + INTERVAL '10 minutes' <= w
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session", "watermark"),
+    tables=("events",),
+)
+def st10_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL watermarked session-window stream (the third genuine
+    structured stream after st7/st9) and oracle-checks its append-mode
+    output INCLUDING the watermark emission contract: a session emits iff
+    its window end (last event + gap) <= the final watermark, so the
+    oracle's WHERE clause IS the semantics of append-mode session state —
+    the last still-open session per user must NOT appear, and the
+    differential check fails if the engine emits early, late, or merges
+    sessions wrongly across micro-batches.
+
+    The subset streams as two TIME-ORDERED files (split at the fixture's
+    mid-month) read one per trigger, so cross-batch session MERGING is
+    exercised without late-data drops: every batch-2 event is newer than
+    batch 1's watermark, and a session emitted at batch 1 provably cannot
+    be reopened by batch 2 (next event > split > watermark >= session end).
+    Watermark delay 0s + the trailing no-data micro-batch flush state up
+    to the global max event time.
+
+    Scale posture: session state shards by (user, session) across the
+    state store and evicts at the watermark — bounded by concurrently-open
+    sessions, not stream length; this is ST3's batch contract (st3)
+    upgraded to runtime streaming evidence."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..io import load_table
+    from ..session import prep
+
+    prep(spark)
+    run_id = uuid.uuid4().hex[:10]
+    work = tempfile.mkdtemp(prefix=f"st10_{os.getpid()}_{run_id}_")
+    src = os.path.join(work, "src")
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "user_id", "value")
+        .filter(F.col("user_id") < 15)
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    events.filter(F.col("ts") < split).coalesce(1).write.mode("append").parquet(src)
+    events.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sink = f"st10_sessions_{run_id}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("total_dec").cast("double").alias("total"),
+            "n",
+        )
+        .orderBy("user_id", "session_start")
+    )
