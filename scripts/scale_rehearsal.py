@@ -496,8 +496,20 @@ def run_streaming_family(spark, src: str, n_rows: int, ckpt_base: str) -> dict:
             .parquet(src)
         )
 
+    from pyspark.sql import functions as F
+
+    def session_agg():
+        src_df = stream()
+        return (
+            src_df.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n")),
+            "append",
+        )
+
     ops = {
         "st_tumbling_agg": lambda: (watermarked_tumbling_hourly(stream()), "append"),
+        "st_session_windows": session_agg,
         "st_watermark_dedup": lambda: (
             streaming_dedup(stream(), ["user_id", "event_type"], delay="2 hours"),
             "append",
