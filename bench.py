@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "s17_variant_json_scan",
     "ops3_data_quality_checks",
     "pipe9_source_canonicalize",
+    "sql5_nation_volume_shipping",
+    "sql6_large_volume_customers",
 ]
 
 

@@ -104,3 +104,63 @@ register_sql(
     "left semi join on l_orderkey carrying the date comparison as the "
     "join condition, with the quarter filter pushed to the orders scan.",
 )
+
+register_sql(
+    "sql5_nation_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume_dec) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume_dec
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE n1.n_name < n2.n_name
+        AND l.l_shipdate >= DATE '1995-01-01'
+        AND l.l_shipdate < DATE '1997-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("sql", "join", "tpch"),
+    tables=("supplier", "lineitem", "orders", "customer", "nation"),
+    doc="TPC-H Q7 shape via spark.sql — the five-way join tree (two fact "
+    "hops + three dims) with an inter-nation inequality and a pushed "
+    "two-year ship-date range; both nation dims broadcast (one physical "
+    "table read twice), revenue decimal-exact per (supp, cust, year) cell. "
+    "The canonical join-reorder stressor: Catalyst must keep the dims on "
+    "the build side while the lineitem⋈orders spine shuffles.",
+)
+
+register_sql(
+    "sql6_large_volume_customers",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS o_orderdate,
+           CAST(agg.total_qty AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    ) agg ON agg.l_orderkey = o.o_orderkey
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    tags=("sql", "having", "tpch"),
+    tables=("orders", "customer", "lineitem"),
+    doc="TPC-H Q18 shape via spark.sql — the HAVING-filtered aggregate "
+    "subquery (orders whose total quantity clears a bar) joined back to "
+    "orders + customer, deterministic top-20 (qty DESC, orderkey "
+    "tie-break) as TakeOrderedAndProject. The aggregate subquery reduces "
+    "lineitem to one row per qualifying order BEFORE any wide join — the "
+    "pre-aggregation-before-join rule as a canonical query.",
+)
