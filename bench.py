@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "pipe9_source_canonicalize",
     "sql5_nation_volume_shipping",
     "sql6_large_volume_customers",
+    "olap9_pareto_abc",
 ]
 
 

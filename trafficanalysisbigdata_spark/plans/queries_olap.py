@@ -622,3 +622,87 @@ def ops3_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "check_name", "n_violations", (F.col("n_violations") == 0).alias("passed")
     ).orderBy("check_name")
+
+
+@register(
+    "olap9_pareto_abc",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev_dec
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev_dec,
+             SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_dec,
+             SUM(rev_dec) OVER () AS tot_dec
+      FROM g
+    ), classed AS (
+      SELECT CASE WHEN cum_dec <= 0.80 * tot_dec THEN 'A'
+                  WHEN cum_dec <= 0.95 * tot_dec THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_dec
+      FROM ranked
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev_dec) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(rev_dec) AS DOUBLE)
+                 / (SELECT CAST(SUM(rev_dec) AS DOUBLE) FROM g), 6) AS rev_share
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    tags=("olap", "pareto", "abc"),
+    tables=("lineitem",),
+)
+def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification — the inventory-analytics staple: parts
+    ranked by revenue, classified A (first 80% of cumulative revenue),
+    B (to 95%), C (tail), reported as class-level counts and shares. The
+    cumulative boundary is decimal-exact on both engines (a double cumsum
+    would flap the A/B boundary for parts near 0.80 * total).
+
+    Scale posture: the per-part rollup is a partial/final agg; the
+    cumulative ranking is an ordered window over ONE ROW PER PART — bounded
+    by catalog size, not fact volume (w2's calendar exception, here the
+    catalog's). For a billion-part catalog the same semantics run two-phase:
+    range-partition by revenue desc, per-partition cumsums + partition-sum
+    prefix offsets (the classic distributed prefix-sum), which AQE-sized
+    range exchange already sets up."""
+    from pyspark.sql.window import Window
+
+    g = (
+        spark.table("lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev_dec"))
+    )
+    w_cum = Window.orderBy(F.desc("rev_dec"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = g.select(
+        "rev_dec",
+        F.sum("rev_dec").over(w_cum).alias("cum_dec"),
+        F.sum("rev_dec").over(w_all).alias("tot_dec"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_dec") <= F.col("tot_dec") * 0.80, "A")
+        .when(F.col("cum_dec") <= F.col("tot_dec") * 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_dec",
+    )
+    tot = g.agg(F.sum("rev_dec").cast("double").alias("grand"))
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue",
+            F.round(F.col("revenue") / F.col("grand"), 6).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
