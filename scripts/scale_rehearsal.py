@@ -187,8 +187,10 @@ def run_family(spark, doc_path: str, emb_path: str, n_docs: int, big: bool) -> d
         "sim3_lsh_topk": lambda: sim.lsh_topk(
             emb, probes, k=5, n_tables=16, n_planes=n_planes, dim=DIM
         ),
+        # sim4 takes NO explicit n_planes: the rehearsal measures the
+        # in-code adaptive_n_planes rule itself (P=5 at 5k, P=8 at 50k)
         "sim4_lsh_neardup": lambda: sim.lsh_neardup_pairs(
-            emb, 0.8, n_tables=16, n_planes=n_planes, dim=DIM
+            emb, 0.8, n_tables=16, dim=DIM
         ).agg(F.count(F.lit(1)).alias("pairs")),
         # dd6 over synthetic 16-chains: measures the iterative CC machinery
         # itself (pointer jumping, single-job convergence, checkpointing) —

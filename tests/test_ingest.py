@@ -434,7 +434,9 @@ def test_paginated_stream_reader_incremental_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("paginated_json stream did not drain within 300 s")
 
     drain()
     ids_run1 = sorted(r.requestid for r in spark.read.parquet(out).collect())

@@ -36,23 +36,54 @@ def test_driver_window_is_fully_oracle_checkable():
     that silently pushes an unverifiable query into the sample window is a
     regression this test catches."""
     from trafficanalysisbigdata_spark.plans.registry import (
-        _DRIVER_WINDOW,
+        driver_window,
         oracle_sql,
         queries,
     )
 
+    window = driver_window()
     names = list(queries())
-    assert len(_DRIVER_WINDOW) == 50
-    assert len(set(_DRIVER_WINDOW)) == 50
-    missing = [n for n in _DRIVER_WINDOW if n not in SPECS]
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    missing = [n for n in window if n not in SPECS]
     assert not missing, f"window names not in registry: {missing}"
-    assert names[:50] == list(_DRIVER_WINDOW)
+    assert names[:50] == list(window)
     no_oracle_in_window = [n for n in names[:50] if not SPECS[n].oracle]
     assert not no_oracle_in_window, no_oracle_in_window
     # oracle_sql iterates in the same order, and the no-oracle tail is last
     assert list(oracle_sql())[:50] == names[:50]
     tail = names[len(names) - sum(1 for s in SPECS.values() if not s.oracle) :]
     assert all(not SPECS[n].oracle for n in tail)
+
+
+def test_driver_window_ranks_never_green_first():
+    """The window is derived from CORRECTNESS_r*.json history: every
+    oracle-bearing query that has never earned a driver-green row must rank
+    ahead of every query that has one, so new/renamed queries cannot be
+    stranded outside driver view by a stale hand-maintained list."""
+    from trafficanalysisbigdata_spark.plans.registry import (
+        _green_history,
+        driver_window,
+    )
+
+    green = _green_history()
+    window = driver_window()
+    never_green = [n for n in SPECS if SPECS[n].oracle and n not in green]
+    # every never-green oracle query fits in (or overflows past) the window
+    expected_head = never_green[:50]
+    assert set(expected_head) <= set(window), (
+        f"never-green queries missing from window: "
+        f"{sorted(set(expected_head) - set(window))}"
+    )
+    # and they all rank before any previously-green entry
+    first_green_pos = next(
+        (i for i, n in enumerate(window) if n in green), len(window)
+    )
+    assert all(n not in green for n in window[:first_green_pos])
+    assert all(n in green for n in window[first_green_pos:])
+    # backfill is least-recently-green first (non-decreasing green rounds)
+    rounds = [green[n] for n in window[first_green_pos:]]
+    assert rounds == sorted(rounds)
 
 
 def test_rows_only_queries_run(spark, sf_dir):

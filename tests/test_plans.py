@@ -200,3 +200,27 @@ def test_sql4_exists_becomes_semi_join(spark, sf_dir):
     left semi join (the date comparison rides as the join condition)."""
     plan = _plan(spark, sf_dir, "sql4_order_priority_check")
     assert "LeftSemi" in plan
+
+
+def test_olap9_no_unpartitioned_catalog_window(spark, sf_dir):
+    """olap9: the Pareto cumsum must run as the two-phase distributed
+    prefix-sum — every Window over the per-part catalog carries a partition
+    spec (pid / constant-ledger), so no single-reducer global sort survives
+    a billion-part catalog. windowspecdefinition's first argument is its
+    partition expression; an unpartitioned window starts straight with the
+    ordering spec (rev_dec DESC)."""
+    plan = _plan(spark, sf_dir, "olap9_pareto_abc")
+    assert "Window" in plan  # the per-partition cumsum is still a window
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            spec = ln.split("windowspecdefinition", 1)[1]
+            head = spec.split(",", 1)[0]
+            assert "rev_dec" not in head and "DESC" not in head, ln
+
+
+def test_a16_mode_argmax_is_partial_final(spark, sf_dir):
+    """a16: the mode argmax is a partial-aggregable max(struct), not a
+    per-group window sort — no windowspecdefinition in the plan at all
+    except percentile_disc's SortAggregate path."""
+    plan = _plan(spark, sf_dir, "a16_mode_median")
+    assert "windowspecdefinition" not in plan

@@ -230,3 +230,34 @@ def test_hash_ivf_index_pruning_and_recall(spark, tmp_path):
 
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_adaptive_n_planes_rule():
+    """The sim4 banding dial is code, not prose: P=4 (the oracle-mirrored
+    floor) for every driver-SF corpus, then grows log2 with the corpus to
+    hold expected bucket size constant, capped at 8 to protect OR-amplified
+    recall at the 0.8 cosine bar."""
+    from trafficanalysisbigdata_spark.operators.similarity import adaptive_n_planes
+
+    assert adaptive_n_planes(0) == 4
+    assert adaptive_n_planes(500) == 4      # sf0.001 / sf0.01 fixtures
+    assert adaptive_n_planes(2000) == 4     # sf0.1 fixture — oracle P
+    assert adaptive_n_planes(4095) == 4     # floor holds below 4096
+    assert adaptive_n_planes(5_000) == 5    # 1x rehearsal
+    assert adaptive_n_planes(50_000) == 8   # 10x rehearsal
+    assert adaptive_n_planes(10_000_000) == 8  # cap
+
+
+def test_sim4_zero_norm_guard(spark):
+    """quantized/cosine paths must exclude zero vectors rather than emit
+    null scores: an all-zero embedding has no defined cosine."""
+    from trafficanalysisbigdata_spark.operators.similarity import quantized_topk
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8), (2, [0.5] * 8), (3, [-1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantized_topk(df, df, k=3).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert 0 not in ids          # zero vector excluded from both sides
+    assert all(r.qcos is not None for r in out)

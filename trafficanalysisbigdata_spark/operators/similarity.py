@@ -227,11 +227,31 @@ def table_bucket_capped(buckets: DataFrame, max_bucket: int) -> DataFrame:
     return capped_groups(buckets, ["t", "bucket"], max_bucket)
 
 
+def adaptive_n_planes(
+    n: int, floor: int = 4, cap: int = 8, target_bucket: int = 128
+) -> int:
+    """The n_planes dial as CODE (dd5's k∝√n discipline applied to LSH
+    banding): per-table candidate-pair volume is ~n²/2^P at uniform
+    occupancy, so holding expected bucket size at ``target_bucket`` means
+    2^P ∝ n, i.e. P = log2(n / target_bucket). Clamped to [floor, cap]:
+    the floor keeps toy corpora at the oracle-mirrored P=4 (any corpus
+    < 4096 vectors derives 4, which covers every driver SF), the cap at 8
+    keeps OR-amplified recall ≥ ~0.94 for pairs at the 0.8 cosine bar with
+    L=16 tables ((1 − θ/π)^8 per table). Measured on the 10× rehearsal:
+    the fixed-P=6 run grew 10.5× in wall for 10× data; this rule (P=8 at
+    50k vectors) divides candidate volume 4× right where the growth was."""
+    import math
+
+    if n <= target_bucket:
+        return floor
+    return max(floor, min(cap, int(math.log2(n / target_bucket))))
+
+
 def lsh_neardup_pairs(
     corpus: DataFrame,
     threshold: float,
     n_tables: int = 16,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -242,7 +262,14 @@ def lsh_neardup_pairs(
     the recall/candidate-volume dial is (n_tables, n_planes), and
     ``max_bucket`` (optional) applies ``table_bucket_capped`` before the
     self-join: at web scale a dense region's bucket is the same quadratic
-    hazard the MinHash path caps (see ``dedup.bucket_capped``)."""
+    hazard the MinHash path caps (see ``dedup.bucket_capped``).
+
+    ``n_planes=None`` (default) derives the dial from the corpus count via
+    ``adaptive_n_planes`` — one cheap count() job, then banding that holds
+    expected bucket size constant as the corpus grows. Pass an explicit
+    value only to pin a band layout (e.g. to mirror a static oracle)."""
+    if n_planes is None:
+        n_planes = adaptive_n_planes(corpus.count())
     ba = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "id1")
     if max_bucket is not None:
         ba = table_bucket_capped(ba, max_bucket)
@@ -583,14 +610,28 @@ def quantized_topk(
     scanned in place, zero corpus shuffle; the per-pair work is an integer
     zip_with/aggregate fold (JVM-side, no UDF); the per-row self-dot is
     computed once before the join.
+
+    Zero-norm guard: an all-zero embedding quantizes to all-zero, making its
+    self-dot 0 and qcos = qdot/sqrt(0) — null under Spark's non-ANSI
+    division with engine-dependent ordering downstream. Cosine is undefined
+    for the zero vector, so such rows are excluded from BOTH corpus and
+    probes (oracle callers mirror the same ``nn > 0`` exclusion).
     """
     self_dot = "aggregate(transform({c}, x -> cast(x as bigint) * x), 0L, (acc, v) -> acc + v)"
-    p = probes.select(
-        F.col(id_col).alias("query_id"), int8_quantized(vec_col, "q_qv")
-    ).withColumn("q_nn", F.expr(self_dot.format(c="q_qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), int8_quantized(vec_col, "c_qv")
-    ).withColumn("c_nn", F.expr(self_dot.format(c="c_qv")))
+    p = (
+        probes.select(
+            F.col(id_col).alias("query_id"), int8_quantized(vec_col, "q_qv")
+        )
+        .withColumn("q_nn", F.expr(self_dot.format(c="q_qv")))
+        .filter(F.col("q_nn") > 0)
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), int8_quantized(vec_col, "c_qv")
+        )
+        .withColumn("c_nn", F.expr(self_dot.format(c="c_qv")))
+        .filter(F.col("c_nn") > 0)
+    )
     scored = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("neighbor_id") != F.col("query_id"))

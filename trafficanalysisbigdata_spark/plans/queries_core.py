@@ -550,21 +550,27 @@ def a16_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: bucket counts partial-aggregate map-side, so the mode
     shuffle carries (group, bucket) pairs, not rows; the per-group argmax is
-    a window over bucket counts (small), not events. percentile_disc is the
-    one full-sort-per-group op here — at 100 TB swap approx_percentile
-    (t-digest, a15's audited contract) and keep this exact form for
-    verification samples."""
+    a partial-aggregable max(struct(c, -bucket)) — no window, no per-group
+    sort, deterministic smallest-bucket tie-break via the negated key.
+    percentile_disc is the one full-sort-per-group op here — at 100 TB swap
+    approx_percentile (t-digest, a15's audited contract) and keep this exact
+    form for verification samples."""
     ev = spark.table("events")
     b = ev.groupBy(
         "event_type", F.floor("value").cast("bigint").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("c"))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("bucket"))
     mode = (
-        b.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_type", F.col("bucket").alias("mode_bucket"), F.col("c").alias("mode_count"))
+        b.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("bucket")).alias("neg_bucket"))
+            ).alias("mx")
+        )
+        .select(
+            "event_type",
+            (-F.col("mx.neg_bucket")).alias("mode_bucket"),
+            F.col("mx.c").alias("mode_count"),
+        )
     )
     med = ev.groupBy("event_type").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(

@@ -20,7 +20,7 @@ from .registry import register
 
 
 @register(
-    "f1_time_parts_profile",
+    "f2_time_parts_profile",
     oracle="""
     SELECT CAST(isodow(ts) - 1 AS INT) AS day_of_week,
            CAST(CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS INT) AS is_weekend,
@@ -34,7 +34,7 @@ from .registry import register
     tags=("functions", "F1", "F2", "F3", "F4", "F5", "F6"),
     tables=("events",),
 )
-def f1_time_parts_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def f2_time_parts_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F3/F4 weekday(0=Mon)/is_weekend/ISO-week derivation then profile
     (ref TrafficAnalysis.py:80-84)."""
     ev = with_time_parts(spark.table("events"))

@@ -286,7 +286,7 @@ def olap6_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                          TIMESTAMP '9999-12-31 00:00:00') AS VARCHAR) AS valid_to,
            (LEAD(valid_from) OVER w2 IS NULL) AS is_current,
            n_events
-    FROM grouped WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    FROM grouped WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, run_id)
     ORDER BY user_id, valid_from
     """,
     tags=("olap", "scd2", "warehouse"),
@@ -327,7 +327,12 @@ def olap7_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # run_id tie-break: two adjacent runs of one user can share valid_from
+    # when the run boundary falls between equal-timestamp events (run
+    # detection tie-breaks on event_id); run_id is totally ordered per user,
+    # so ordering on it makes valid_to/is_current deterministic on BOTH
+    # engines (oracle w2 mirrors this).
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
     return (
         grouped.withColumn("next_from", F.lead("valid_from").over(w2))
         .select(
@@ -637,8 +642,8 @@ def ops3_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(rev_dec) OVER () AS tot_dec
       FROM g
     ), classed AS (
-      SELECT CASE WHEN cum_dec <= 0.80 * tot_dec THEN 'A'
-                  WHEN cum_dec <= 0.95 * tot_dec THEN 'B'
+      SELECT CASE WHEN cum_dec <= CAST(0.80 AS DECIMAL(3,2)) * tot_dec THEN 'A'
+                  WHEN cum_dec <= CAST(0.95 AS DECIMAL(3,2)) * tot_dec THEN 'B'
                   ELSE 'C' END AS abc_class,
              rev_dec
       FROM ranked
@@ -657,16 +662,20 @@ def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification — the inventory-analytics staple: parts
     ranked by revenue, classified A (first 80% of cumulative revenue),
     B (to 95%), C (tail), reported as class-level counts and shares. The
-    cumulative boundary is decimal-exact on both engines (a double cumsum
-    would flap the A/B boundary for parts near 0.80 * total).
+    cumulative boundary is decimal-exact on both engines: the 0.80/0.95
+    multipliers are DECIMAL(3,2) literals, so decimal × decimal stays exact
+    (a double multiply would flap the A/B boundary for parts whose
+    cumulative revenue sits within double-rounding distance of 80%/95%).
 
     Scale posture: the per-part rollup is a partial/final agg; the
-    cumulative ranking is an ordered window over ONE ROW PER PART — bounded
-    by catalog size, not fact volume (w2's calendar exception, here the
-    catalog's). For a billion-part catalog the same semantics run two-phase:
-    range-partition by revenue desc, per-partition cumsums + partition-sum
-    prefix offsets (the classic distributed prefix-sum), which AQE-sized
-    range exchange already sets up."""
+    cumulative ranking runs as a TWO-PHASE DISTRIBUTED PREFIX-SUM — no
+    unpartitioned window anywhere: range-partition the catalog by
+    (revenue desc, partkey), per-partition ordered cumsums in parallel
+    (window partitioned by the captured range-partition id), then add each
+    partition's prefix offset from a partition-totals ledger that is only
+    num-partitions rows. A billion-part catalog costs one range exchange
+    plus a broadcast of ~hundreds of ledger rows. Plan-guarded: every
+    Window in this plan carries a partition spec (tests/test_plans.py)."""
     from pyspark.sql.window import Window
 
     g = (
@@ -674,18 +683,43 @@ def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev_dec"))
     )
-    w_cum = Window.orderBy(F.desc("rev_dec"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # Phase 1: range-partition on the total order (desc revenue, asc key) and
+    # capture the range-partition id; each partition cumsums independently.
+    ranged = g.repartitionByRange(
+        8, F.desc("rev_dec"), F.asc("l_partkey")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("rev_dec"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_all = Window.partitionBy()
-    ranked = g.select(
+    local = ranged.withColumn("local_cum", F.sum("rev_dec").over(w_local))
+    # Phase 2: partition-totals ledger (num-partitions rows); running prefix
+    # offset per pid plus the grand total, broadcast back onto the catalog.
+    ptot = local.groupBy("pid").agg(F.sum("rev_dec").alias("p_sum"))
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(F.lit(0))
+    ledger = ptot.select(
+        "pid",
+        F.coalesce(F.sum("p_sum").over(w_off), F.lit(0).cast("decimal(18,6)")).alias(
+            "offset"
+        ),
+        F.sum("p_sum").over(w_tot).alias("tot_dec"),
+    )
+    ranked = local.join(F.broadcast(ledger), "pid").select(
         "rev_dec",
-        F.sum("rev_dec").over(w_cum).alias("cum_dec"),
-        F.sum("rev_dec").over(w_all).alias("tot_dec"),
+        (F.col("local_cum") + F.col("offset")).alias("cum_dec"),
+        "tot_dec",
     )
+    dec80 = F.lit("0.80").cast("decimal(3,2)")
+    dec95 = F.lit("0.95").cast("decimal(3,2)")
     classed = ranked.select(
-        F.when(F.col("cum_dec") <= F.col("tot_dec") * 0.80, "A")
-        .when(F.col("cum_dec") <= F.col("tot_dec") * 0.95, "B")
+        F.when(F.col("cum_dec") <= F.col("tot_dec") * dec80, "A")
+        .when(F.col("cum_dec") <= F.col("tot_dec") * dec95, "B")
         .otherwise("C")
         .alias("abc_class"),
         "rev_dec",

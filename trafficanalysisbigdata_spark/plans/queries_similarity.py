@@ -157,9 +157,15 @@ def sim4_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-banded scale path: candidates = pairs
     colliding in any of the 16 hash tables (equi-join on (table, bucket)),
     then exact cosine ≥ 0.3. Linear-ish in corpus size per bucket family —
-    replaces sim2's O(n²) cross join beyond small n."""
+    replaces sim2's O(n²) cross join beyond small n.
+
+    n_planes is the in-code adaptive rule (operators/similarity.
+    adaptive_n_planes): the static oracle above mirrors P=4, which the rule
+    derives for every corpus under 4096 vectors — all driver SFs (500 at
+    sf0.01, 2000 at sf0.1); the 10× scale rehearsal, where the rule reaches
+    P=8, measures the same operator without an explicit override."""
     return lsh_neardup_pairs(
-        spark.table("embeddings"), threshold=0.3, n_tables=_L, n_planes=_P, dim=_DIM
+        spark.table("embeddings"), threshold=0.3, n_tables=_L, dim=_DIM
     )
 
 
@@ -299,6 +305,7 @@ def dd5_semantic_centroid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              p.nn AS q_nn, c.nn AS c_nn
       FROM qn c CROSS JOIN qn p
       WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+        AND p.nn > 0 AND c.nn > 0
     )
     SELECT query_id, neighbor_id, qdot, qcos FROM (
       SELECT query_id, neighbor_id, qdot,

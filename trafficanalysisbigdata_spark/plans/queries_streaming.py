@@ -268,7 +268,9 @@ def st7_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("structured stream did not drain within 300 s")
 
     emitted = spark.table(sink)
     return (
@@ -418,7 +420,9 @@ def st9_watermark_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("structured stream did not drain within 300 s")
 
     return (
         spark.table(sink)
@@ -498,8 +502,28 @@ def st10_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 15)
     )
     split = F.lit("2024-01-16").cast("timestamp")
-    events.filter(F.col("ts") < split).coalesce(1).write.mode("append").parquet(src)
-    events.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(src)
+    # Deterministic replay order: FileStreamSource orders new files by
+    # modification time, and two coalesce(1) part files written back-to-back
+    # can share an mtime at filesystem-timestamp granularity — a flipped
+    # order would advance the 0-second watermark past every batch-1 event
+    # and drop them as late. Write each half to its own staging dir, then
+    # install into src under lexically ordered names with explicitly spaced
+    # mtimes so maxFilesPerTrigger=1 provably replays in event-time order.
+    import shutil
+    import time
+
+    os.makedirs(src)
+    halves = (events.filter(F.col("ts") < split), events.filter(F.col("ts") >= split))
+    now = time.time()
+    for i, half in enumerate(halves):
+        stage = os.path.join(work, f"stage{i}")
+        half.coalesce(1).write.parquet(stage)
+        part = next(
+            n for n in sorted(os.listdir(stage)) if n.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"batch-{i:03d}.parquet")
+        shutil.copyfile(os.path.join(stage, part), dst)
+        os.utime(dst, (now + 60 * i, now + 60 * i))
 
     stream = (
         spark.readStream.schema("ts timestamp, user_id bigint, value double")
@@ -523,7 +547,9 @@ def st10_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("structured stream did not drain within 300 s")
 
     return (
         spark.table(sink)

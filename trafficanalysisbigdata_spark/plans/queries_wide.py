@@ -126,7 +126,7 @@ def f19_minmax_normalized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a8_pivot_type_by_cohort",
+    "a8b_pivot_type_by_cohort",
     oracle="""
     SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
            CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click'), 0) AS DOUBLE) AS click,
@@ -139,7 +139,7 @@ def f19_minmax_normalized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("wide", "A8", "pivot"),
     tables=("events",),
 )
-def a8_pivot_type_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a8b_pivot_type_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot long events into the wide per-category layout (inverse of F20).
     Pivot values are explicit — no extra distinct-scan job at any scale."""
     ev = spark.table("events")

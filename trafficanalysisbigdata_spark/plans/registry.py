@@ -16,6 +16,7 @@ Queries registered without an oracle (``oracle=None``) are non-SQL-expressible
 from __future__ import annotations
 
 import importlib
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -132,83 +133,68 @@ def load_all() -> dict[str, QuerySpec]:
 
 # The driver's correctness harness samples the FIRST 50 entries of
 # ``queries()`` in iteration order, so ordering is a coverage decision, not
-# cosmetics. This explicit window holds the 43 oracle-bearing queries that
-# had never been driver-sampled through round 5 (windows tail, set/sql,
-# text, OLAP, dedup, pipeline, similarity, geo, multimodal, streaming — the
-# whole LLM-pipeline surface, previously green only in the local DuckDB
-# mirror), plus a14b (oracle-bearing as of round 6), dd2 (never sampled)
-# and the round-6 additions dd7/sim7/pipe8/olap6/olap7.
-# Rotation policy: entries that have earned a driver-green row in a past
-# CORRECTNESS_r{N} rotate out in favor of never-sampled oracle-bearing
-# queries (round 6 rotated out dd1/dd3/dd4/sim1/sim2, all green in r1).
-# Still-unsampled oracle-bearing queries after this round's window — the
-# round-7 rotation pool: st7, st8, st9, s14, s15, s16, s17, ops2, pipe7,
-# olap8, a16, sql3, sql4, f21, sim8, dd8, w9, plus the pre-window tail
-# (a1-a15, p4-p9, s2-s12, f*, j*, t*, w1-w5, ing1) that went green in
-# r1-r5. All are continuously exact-checked by the local mirror
-# (tests/test_oracle_parity.py) regardless of window membership.
-# Everything else follows in registration order; the no-oracle queries
-# (ml1–ml8, sim5, sim6) sort last so the window is 100% oracle-checkable.
-_DRIVER_WINDOW = (
-    "w6_daily_distribution_ranks",
-    "w7_range_frame_weekly",
-    "w8_forward_fill",
-    "set1_cohort_algebra",
-    "sql1_pricing_summary",
-    "sql2_exists_big_spenders",
-    "tx6_tfidf_top_terms",
-    "tx7_token_entropy_by_lang",
-    "tx8_bpe_token_budget",
-    "tx9_boilerplate_share",
-    "tx10_bigram_logprob",
-    "tx11_repetition_filter",
-    "olap1_rollup_region_nation",
-    "olap2_cube_flag_status",
-    "olap3_grouping_sets",
-    "olap4_approx_vs_exact_distinct",
-    "olap5_share_of_total",
-    "ops1_join_key_skew_profile",
-    "dd5_semantic_centroid_dedup",
-    "dd6_dedup_components",
-    "pipe1_pretrain_funnel",
-    "pipe2_training_mix",
-    "pipe3_multisignal_dedup",
-    "pipe4_hash_sample",
-    "pipe5_decontaminate",
-    "pipe6_sequence_pack",
-    "sim3_ann_topk_lsh",
-    "sim4_lsh_neardup_pairs",
-    "f18_reproject_epsg2263",
-    "mm1_media_dedup",
-    "mm2_media_stats_by_modality",
-    "mm3_media_features",
-    "mm4_frame_sample",
-    "mm5_resize_summary",
-    "mm6_audio_window_energy",
-    "mm7_stratified_media_sample",
-    "mm8_perceptual_neardup",
-    "st1_tumbling_hourly",
-    "st2_sliding_2h_windows",
-    "st3_session_windows",
-    "st4_first_event_per_key",
-    "st5_purchase_view_attribution",
-    "st6_stream_static_enrich",
-    "a14b_hll_estimate_audit",
-    "dd2_minhash_lsh",
-    "dd7_duplicate_spans",
-    "sim7_int8_quantized_topk",
-    "pipe8_shard_manifest",
-    "olap6_funnel_conversion",
-    "olap7_scd2_intervals",
-)
+# cosmetics. Through round 6 the 50-slot window was a hand-maintained tuple;
+# it is now DERIVED from the committed CORRECTNESS_r*.json history so no
+# manual step can strand an oracle-bearing query outside driver view:
+#
+#   tier 0 — oracle-bearing queries with NO driver-green row in any past
+#            round (never sampled, sampled-but-err, or newly added/renamed),
+#            in registration order;
+#   tier 1 — previously-green queries, least-recently-green first (so old
+#            results keep getting refreshed once tier 0 drains).
+#
+# No-oracle queries (ml1-ml9, sim5, sim6) sort after every oracle-bearing
+# query so the window stays 100% value-checkable. All queries are
+# continuously exact-checked by the local mirror (tests/test_oracle_parity)
+# regardless of window membership.
+_WINDOW_SIZE = 50
+
+
+def _green_history() -> dict[str, int]:
+    """name -> latest round with a driver-green (rows+hash) row, scanned from
+    the committed CORRECTNESS_r*.json files at the repo root."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    green: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                green[name] = max(green.get(name, 0), rnd)
+    return green
+
+
+def driver_window(specs: dict[str, "QuerySpec"] | None = None) -> tuple[str, ...]:
+    """The 50 names the driver will sample, derived from green history."""
+    if specs is None:
+        specs = load_all()
+    green = _green_history()
+    pos = {n: i for i, n in enumerate(specs)}
+    oracle_names = [n for n in specs if specs[n].oracle]
+    ranked = sorted(oracle_names, key=lambda n: (green.get(n, 0), pos[n]))
+    return tuple(ranked[:_WINDOW_SIZE])
 
 
 def _ordered() -> dict[str, QuerySpec]:
-    """Registry in driver-facing order: the explicit 50-slot window first,
+    """Registry in driver-facing order: the derived 50-slot window first,
     then remaining oracle-bearing queries in registration order, no-oracle
     queries last."""
     specs = load_all()
-    window = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
+    window = {n: i for i, n in enumerate(driver_window(specs))}
     pos = {n: i for i, n in enumerate(specs)}
 
     def key(name: str) -> tuple[int, int, int]:
