@@ -99,6 +99,99 @@ def gen_embeddings(spark, n_vecs: int, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def gen_documents_dist(spark, n_docs: int, path: str) -> None:
+    """Same statistical family as ``gen_documents`` (zipf word salad, 5%
+    exact + 5% near dups) generated DISTRIBUTIVELY for the 100x point: text
+    is a pure function of doc_id, so dup docs REGENERATE their source's
+    text from its id instead of joining — no driver-side list, linear
+    scale-out to any corpus size."""
+    import pandas as pd
+
+    n_base = int(n_docs * 0.90)
+    n_exact = int(n_docs * 0.05)
+
+    def gen(batches):
+        vocab = np.array([f"w{i:03d}" for i in range(600)])
+        w = 1.0 / np.arange(1, len(vocab) + 1) ** 0.8
+        w /= w.sum()
+
+        def base_text(i: int) -> str:
+            rng = np.random.RandomState((SEED ^ (i * 2654435761)) % 2**31)
+            L = 40 + int(rng.rand() * 30)
+            return " ".join(rng.choice(vocab, size=L, p=w))
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i < n_base:
+                    t = base_text(i)
+                elif i < n_base + n_exact:
+                    t = base_text((i * 40503) % n_base)
+                else:
+                    rng = np.random.RandomState((SEED ^ (i * 97)) % 2**31)
+                    toks = base_text((i * 40503) % n_base).split()
+                    toks[int(rng.rand() * len(toks))] = f"w{int(rng.rand() * 600):03d}"
+                    t = " ".join(toks)
+                out.append((i, t, len(t)))
+            yield pd.DataFrame(out, columns=["doc_id", "text", "n_chars"])
+
+    (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .repartition(64)
+        .mapInPandas(gen, "doc_id long, text string, n_chars int")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def run_100x_mode(spark) -> None:
+    """One 100x point (500k docs) for the two operators a 100 TB corpus
+    leans on hardest: dd7 span postings and dd8's increment gate. The 10x
+    point (50k docs) is re-measured with the SAME distributed generator so
+    the printed growth ratio is apples-to-apples; a sublinear-in-data ratio
+    (< 10 for 10x more docs) confirms the linear-postings claims
+    extrapolate."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators import dedup as dd
+
+    sizes = {"10x": N_SMALL * SCALE, "100x": N_SMALL * SCALE * 10}
+    out: dict[str, dict[str, float]] = {}
+    for tag, n in sizes.items():
+        dp = f"{BASE}/docs_dist_{tag}"
+        if not os.path.exists(f"{dp}/_SUCCESS"):
+            t0 = time.perf_counter()
+            gen_documents_dist(spark, n, dp)
+            print(f"  gen {tag}: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        docs = spark.read.parquet(dp)
+        ops = {
+            "dd7_duplicate_spans": lambda: dd.duplicate_span_stats(docs, n=5).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("dup_frac"), 4).alias("avg_frac"),
+            ),
+            "dd8_incremental_dedup": _registered_over_view(
+                spark, "dd8_incremental_dedup", {"documents": docs_with_lang(docs)}
+            ),
+        }
+        res = {}
+        for name, fn in ops.items():
+            fn().write.format("noop").mode("overwrite").save()  # warm codegen
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                ts.append(round(time.perf_counter() - t0, 2))
+            res[name] = min(ts)  # min-of-2: discard roaming host stalls
+            print(f"  {tag} {name}: {ts} -> {res[name]}s", file=sys.stderr, flush=True)
+        out[tag] = res
+    ratios = {
+        k: round(out["100x"][k] / out["10x"][k], 2) for k in out["10x"]
+    }
+    print(json.dumps({"mode": "100x", "timings": out, "ratio_100x_vs_10x": ratios}))
+
+
 def docs_with_lang(docs):
     """Rehearsal corpus lacks the fixture's lang dim; derive a 4-way split
     so dd8's per-lang report has real groups."""
@@ -586,6 +679,9 @@ def main() -> None:
         return
     if wanted == ["streaming"]:
         run_streaming_mode(spark)
+        return
+    if wanted == ["100x"]:
+        run_100x_mode(spark)
         return
     for tag in wanted:
         n = all_sizes[tag]

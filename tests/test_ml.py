@@ -199,3 +199,8 @@ def test_tuned_rf_cv_ranges(spark, sf_dir):
     # own σ; r2 may hover at 0 but must not be catastrophically negative
     assert 0 < r["rmse"] < 200
     assert r["r2"] > -0.5
+    # the concurrent-fold claim is wiring, not prose: candidate fits run
+    # parallelism-wide (measured 9.6s -> 6.3s wall vs parallelism=1 on
+    # local[32] at sf0.001 — BENCH_LOCAL.md; single-node gain is bounded by
+    # the folds sharing one executor pool)
+    assert r["parallelism"] > 1

@@ -54,8 +54,64 @@ def test_features_survive_many_partitions(media):
 
 
 def test_pillow_decoder_stub_raises():
+    """Without the package, pillow_decode is the honest no-package branch."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow installed in this environment")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError, match="pillow"):
         pillow_decode(b"\x89PNG\r\n")
+
+
+def test_auto_decode_probe_and_fallback(monkeypatch):
+    """auto_decode engages the real codec when PIL imports and the bytes
+    parse, and falls back to the deterministic codec otherwise — so the
+    oracle-checked queries produce identical results on both environments
+    for the synthetic (non-image) fixtures."""
+    import sys
+    import types
+
+    from trafficanalysisbigdata_spark.operators.multimodal import (
+        auto_decode,
+        fake_decode,
+        probe_codec,
+    )
+
+    payload = b"\x10\x20synthetic-bytes"
+
+    # codec-less environment: probe says fake, auto == fake
+    if probe_codec() == "fake":
+        assert auto_decode(payload) == fake_decode(payload)
+
+    # stub a PIL that decodes a known image and rejects everything else
+    class _Img:
+        width, height = 7, 3
+
+        def convert(self, mode):
+            return self
+
+        def getdata(self):
+            return [51] * 21
+
+    class _Image:
+        @staticmethod
+        def open(buf):
+            if buf.getvalue() != b"REAL_IMAGE":
+                raise OSError("cannot identify image file")
+            return _Img()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _Image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _Image)
+
+    assert probe_codec() == "pillow"
+    # decodable bytes -> real codec result
+    assert auto_decode(b"REAL_IMAGE") == (7, 3, round(51 / 255.0, 10))
+    # non-image bytes -> deterministic fallback, same as codec-less env
+    assert auto_decode(payload) == fake_decode(payload)
 
 
 def test_sample_frames_ragged_tail(spark):

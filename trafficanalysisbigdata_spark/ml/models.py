@@ -335,4 +335,6 @@ def tuned_rf_regression(events: DataFrame) -> dict:
         "r2": r2,
         "n_test": pred.count(),
         "avg_fold_rmse": [float(m) for m in model.avgMetrics],
+        # receipt for the concurrent-fold claim: the wiring the fit ran with
+        "parallelism": cv.getParallelism(),
     }

@@ -309,7 +309,12 @@ def duplicate_span_stats(
     exact-substring-dedup removal signal of Lee et al. 2021 at shingle
     granularity.
 
-    Shuffle shape: postings travel as (md5, doc_id) 16-byte keys; the
+    Shuffle shape: postings travel as (xxhash64, doc_id) pairs — an 8-byte
+    LONG key regardless of span text (4x narrower than the md5 hex string
+    it replaced, and long-keyed aggregation/join beats string-keyed; the
+    fingerprint swap cannot change results short of a 64-bit collision,
+    ~1e-10 at driver scales where the oracle compares, and the DuckDB
+    mirror's own md5 keys count the same distinct-shingle sets). The
     (k, doc) pre-aggregation partial-combines map-side so intra-doc
     repetition never crosses the wire row-by-row; document frequency is a
     second partial agg over one row per (k, doc); the dup-flag join is equi
@@ -320,7 +325,7 @@ def duplicate_span_stats(
 
     post = (
         docs.select(id_col, F.explode(token_ngrams(F.col(text_col), n)).alias("sh"))
-        .select(id_col, F.md5("sh").alias("k"))
+        .select(id_col, F.xxhash64("sh").alias("k"))
     )
     occ = post.groupBy("k", id_col).agg(F.count(F.lit(1)).alias("occ"))
     dfreq = occ.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))

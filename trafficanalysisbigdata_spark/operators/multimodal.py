@@ -107,9 +107,9 @@ def fake_decode(content: bytes) -> tuple[int, int, float]:
 
 
 def pillow_decode(content: bytes) -> tuple[int, int, float]:
-    """Production decoder shape — requires pillow, which this environment
-    does not ship. The mapInPandas plumbing around it is identical to
-    ``fake_decode``'s; swap the callable when the codec is available."""
+    """Production decoder — requires pillow. The mapInPandas plumbing around
+    it is identical to ``fake_decode``'s; ``auto_decode`` (the default)
+    probes for it and engages it wherever the package exists."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
@@ -126,9 +126,36 @@ def pillow_decode(content: bytes) -> tuple[int, int, float]:
     return img.width, img.height, (sum(px) / len(px) / 255.0) if px else 0.0
 
 
+def probe_codec() -> str:
+    """Probe-and-fallback, the ml/models.py xgboost pattern: 'pillow' when
+    PIL imports (a sys.modules hit after the first call — cheap per row),
+    'fake' in codec-less environments."""
+    try:
+        import PIL  # noqa: F401
+
+        return "pillow"
+    except ImportError:
+        return "fake"
+
+
+def auto_decode(content: bytes) -> tuple[int, int, float]:
+    """Default decoder: the real pillow codec when the package is installed
+    AND the bytes parse as an image; the deterministic fake codec otherwise.
+    The synthetic fixtures are not valid image streams, so they take the
+    fake path on EVERY environment — oracle results are codec-independent —
+    while real JPEG/PNG bytes decode for real wherever pillow exists."""
+    if probe_codec() == "pillow":
+        try:
+            return pillow_decode(content)
+        except Exception:
+            # not a decodable image stream -> deterministic fallback
+            pass
+    return fake_decode(content)
+
+
 def extract_media_features(
     media: DataFrame,
-    decode: Callable[[bytes], tuple[int, int, float]] = fake_decode,
+    decode: Callable[[bytes], tuple[int, int, float]] = auto_decode,
 ) -> DataFrame:
     """The decode/feature stage: Arrow-batched ``mapInPandas`` over
     (media_id, modality, content) emitting small typed feature rows.
@@ -210,7 +237,7 @@ def sample_frames(
 def resize_media(
     media: DataFrame,
     max_bytes: int = 128,
-    decode: Callable[[bytes], tuple[int, int, float]] = fake_decode,
+    decode: Callable[[bytes], tuple[int, int, float]] = auto_decode,
 ) -> DataFrame:
     """Resize/downsample stage: binary in → smaller binary out plus re-decoded
     features of the RESIZED content. The fake transform truncates to

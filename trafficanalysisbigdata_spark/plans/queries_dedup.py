@@ -424,15 +424,19 @@ def dd8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus_fp.withColumn("__hit", F.lit(1)), "fp", "left")
         .select("doc_id", "text", "lang", F.col("__hit").isNotNull().alias("is_exact"))
     )
+    # xxhash64 long keys (8 bytes) instead of md5 hex strings: the shingle
+    # index is a fingerprint set, so any injective key gives identical
+    # overlap counts (collision odds ~1e-10 at oracle scales) and the
+    # distinct/join shuffles carry 4x less key payload
     corpus_keys = (
         corpus.select(F.explode(token_ngrams(F.col("text"), 5)).alias("sh"))
-        .select(F.md5("sh").alias("k"))
+        .select(F.xxhash64("sh").alias("k"))
         .distinct()
     )
     inc_post = (
         inc.filter(~F.col("is_exact"))
         .select("doc_id", F.explode(token_ngrams(F.col("text"), 5)).alias("sh"))
-        .select("doc_id", F.md5("sh").alias("k"))
+        .select("doc_id", F.xxhash64("sh").alias("k"))
         .distinct()
     )
     near = (

@@ -423,3 +423,72 @@ def sim8_hash_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_hash_ivf_index(emb, index_dir, n_clusters=16)
     probes = emb.filter(F.col("vec_id") < 10)
     return hash_ivf_topk_indexed(spark, index_dir, probes, k=5, n_probe=4)
+
+
+@register(
+    "sim9_two_stage_rerank",
+    oracle="""
+    WITH qe AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> coalesce(CAST(floor(x * (127.0 / nullif(
+                      list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                              y -> abs(y))), 0)) + 0.5) AS INT), 0)) AS qv
+      FROM embeddings
+    ), qn AS (
+      SELECT vec_id, qv,
+             CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                                   CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
+      FROM qe
+    ), stage1 AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(CAST(list_dot_product(CAST(p.qv AS DOUBLE[]),
+                                         CAST(c.qv AS DOUBLE[])) AS BIGINT)
+                   / sqrt(CAST(p.nn * c.nn AS DOUBLE)), 6) AS qcos
+      FROM qn c CROSS JOIN qn p
+      WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+        AND p.nn > 0 AND c.nn > 0
+    ), short AS (
+      SELECT query_id, neighbor_id, qcos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY qcos DESC, neighbor_id) AS rn
+        FROM stage1
+      ) t WHERE rn <= 20
+    )
+    SELECT query_id, neighbor_id, cos, qcos FROM (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])), 6) AS cos,
+             s.qcos,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(n.embedding AS DOUBLE[])), 6) DESC,
+                        s.neighbor_id) AS rn
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings n ON n.vec_id = s.neighbor_id
+    ) t WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "quantization", "rerank"),
+    tables=("embeddings",),
+)
+def sim9_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN serving pattern: an int8
+    quantized stage (sim7's exact-integer scoring, 4x fewer scan bytes)
+    builds a 20-candidate shortlist per probe, then exact float cosine
+    reranks the shortlist to a final top-5. Both stages deterministic, so
+    the FULL pipeline — quantize, shortlist, rerank — is value-checked
+    against the oracle, shortlist boundary effects included.
+
+    Plan shape: stage 1 = one corpus scan with broadcast probes (sim1's
+    shape over int8 arrays); stage 2 joins the corpus scan to the BROADCAST
+    shortlist (probes x 20 rows), so full-precision vectors are touched at
+    shortlist selectivity only — the scan-bytes story that makes
+    quantized-first retrieval the 100 TB default."""
+    from ..operators.similarity import two_stage_rerank_topk
+
+    emb = spark.table("embeddings")
+    return two_stage_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist_factor=4
+    )

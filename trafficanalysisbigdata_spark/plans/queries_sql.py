@@ -164,3 +164,99 @@ register_sql(
     "lineitem to one row per qualifying order BEFORE any wide join — the "
     "pre-aggregation-before-join rule as a canonical query.",
 )
+
+register_sql(
+    "sql7_promo_revenue_share",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
+           CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS ship_month,
+           ROUND(100.0
+                 * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))) END)
+                     AS DOUBLE), 0.0)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                 6) AS promo_share_pct,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY CAST(EXTRACT(YEAR FROM l_shipdate) AS INT),
+             CAST(EXTRACT(MONTH FROM l_shipdate) AS INT)
+    ORDER BY ship_year, ship_month
+    """,
+    tags=("sql", "join", "tpch"),
+    tables=("lineitem", "part"),
+    doc="TPC-H Q14 shape via spark.sql — promo revenue share per ship "
+    "month: conditional aggregation (CASE inside SUM, no ELSE so non-promo "
+    "rows fall out as NULLs) over a part-dim join with a pushed one-year "
+    "ship-date range. Numerator and denominator aggregate decimal-exact, "
+    "then ONE double division + round on both engines — the ratio is "
+    "computed from identical doubles, so it is IEEE-identical.",
+)
+
+register_sql(
+    "sql8_region_market_share",
+    """
+    SELECT l_year,
+           ROUND(COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                        THEN volume_dec END) AS DOUBLE), 0.0)
+                 / CAST(SUM(volume_dec) AS DOUBLE), 6) AS mkt_share,
+           CAST(SUM(volume_dec) AS DOUBLE) AS total_volume
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS l_year,
+             n1.n_name AS supp_nation,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume_dec
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ) all_sales
+    GROUP BY l_year
+    ORDER BY l_year
+    """,
+    tags=("sql", "join", "share", "tpch"),
+    tables=("lineitem", "orders", "supplier", "customer", "nation", "region"),
+    doc="TPC-H Q8 shape via spark.sql — one supplier nation's share of a "
+    "region's yearly order volume: a seven-relation join tree where every "
+    "dim (supplier, customer, both nation roles, region) broadcasts and "
+    "only the lineitem-orders spine shuffles; the region filter prunes "
+    "through customer->nation->region before the spine join. Share = "
+    "conditional decimal sum / total decimal sum, divided once in double.",
+)
+
+register_sql(
+    "sql9_returned_item_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= DATE '1995-10-01'
+      AND o.o_orderdate < DATE '1996-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("sql", "join", "topk", "tpch"),
+    tables=("customer", "orders", "lineitem", "nation"),
+    doc="TPC-H Q10 shape via spark.sql — top-20 customers by revenue lost "
+    "to returns in a quarter: returnflag + order-date ranges push to the "
+    "scans, nation broadcasts, and the deterministic top-20 (revenue DESC, "
+    "custkey tie-break) plans as TakeOrderedAndProject over the grouped "
+    "join — the 'who do we call first' operational report at any scale.",
+)

@@ -509,3 +509,87 @@ def tx11_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "tx12_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, token, COUNT(*) AS c
+      FROM (SELECT lang, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, c,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY c DESC, token) AS r
+      FROM tf
+    ), terms AS (
+      SELECT lang,
+             CAST(ROUND(ln(r), 8) AS DECIMAL(18,8)) AS x,
+             CAST(ROUND(ln(c), 8) AS DECIMAL(18,8)) AS y
+      FROM ranked WHERE r <= 100
+    ), s AS (
+      SELECT lang, COUNT(*) AS n_ranks,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM terms GROUP BY lang
+    )
+    SELECT lang, n_ranks,
+           ROUND((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6)
+             AS zipf_slope
+    FROM s ORDER BY lang
+    """,
+    tags=("text", "zipf", "quality"),
+    tables=("documents",),
+)
+def tx12_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS slope of ln(frequency) on ln(rank)
+    over each language's top-100 token ranks. Natural text sits near -1;
+    machine-generated or template-heavy corpora flatten or steepen — a
+    corpus-level quality fingerprint no per-document score captures.
+
+    Cross-engine float discipline: the regression inputs are logs of small
+    INTEGERS (rank, count), rounded to 8 decimals and summed as DECIMAL
+    (exact, order-independent); the closed-form slope then runs in double
+    from identical operands, so it is IEEE-identical on both engines.
+
+    Scale posture: token frequencies partial-aggregate map-side ((lang,
+    token) pairs, not token instances, reach the shuffle); the rank window
+    partitions by lang over VOCABULARY-sized input, and everything after
+    the top-100 filter is per-lang constant work."""
+    from ..functions.text import tokens as _tokens
+    from pyspark.sql.window import Window
+
+    docs = spark.table("documents")
+    tf = (
+        docs.select("lang", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
+    terms = (
+        tf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .select(
+            "lang",
+            F.round(F.log(F.col("r")), 8).cast("decimal(18,8)").alias("x"),
+            F.round(F.log(F.col("c")), 8).cast("decimal(18,8)").alias("y"),
+        )
+    )
+    s = terms.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    return s.select(
+        "lang",
+        "n_ranks",
+        F.round(
+            (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    ).orderBy("lang")
