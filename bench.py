@@ -123,6 +123,16 @@ BENCH_QUERIES = [
     "sql5_nation_volume_shipping",
     "sql6_large_volume_customers",
     "olap9_pareto_abc",
+    # round-7 additions
+    "sql7_promo_revenue_share",
+    "sql8_region_market_share",
+    "sql9_returned_item_customers",
+    "sim9_two_stage_rerank",
+    "tx12_zipf_slope",
+    "dd9_minhash_calibration",
+    "mm9_frame_dedup",
+    "j9_bloom_pruned_join",
+    # st11 excluded like st7/st9: real-stream startup dominates wall time
 ]
 
 

@@ -145,12 +145,13 @@ def test_sim7_broadcasts_probes_no_corpus_shuffle(spark, sf_dir):
 
 def test_dd7_aggregates_are_partial_final(spark, sf_dir):
     """dd7: both the (k, doc) occurrence agg and the df agg must compile to
-    partial+final HashAggregate pairs (map-side combine before the md5-key
-    shuffle), and the postings shuffle must carry the md5 key, not span
-    text."""
+    partial+final HashAggregate pairs (map-side combine before the key
+    shuffle), the posting key must be the 8-byte xxhash64 long (not the
+    md5 hex string it replaced — 4x narrower exchanges), and the postings
+    shuffle must carry the key, never span text."""
     plan = _plan(spark, sf_dir, "dd7_duplicate_spans")
     assert plan.count("HashAggregate") >= 4  # >= 2 partial/final pairs
-    assert "md5" in plan
+    assert "xxhash64" in plan
     # span text never crosses an exchange: no exchange key contains 'sh'
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
@@ -224,3 +225,12 @@ def test_a16_mode_argmax_is_partial_final(spark, sf_dir):
     except percentile_disc's SortAggregate path."""
     plan = _plan(spark, sf_dir, "a16_mode_median")
     assert "windowspecdefinition" not in plan
+
+
+def test_j9_runtime_bloom_filter_injected(spark, sf_dir):
+    """j9: the lineitem side must carry a might_contain runtime bloom
+    filter built from the selective orders side, applied BEFORE the join
+    exchange — rows that cannot join never shuffle."""
+    plan = _plan(spark, sf_dir, "j9_bloom_pruned_join")
+    assert "might_contain" in plan
+    assert "l_orderkey" in plan.split("might_contain", 1)[1][:200]

@@ -461,3 +461,110 @@ def dd8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_DD9_MATCH = " + ".join(
+    f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(8)
+)
+
+
+@register(
+    "dd9_minhash_calibration",
+    oracle=f"""
+    WITH {_DD2_CTES}, comp AS (
+      SELECT p.doc1, p.doc2, ({_DD9_MATCH}) AS m_match
+      FROM pairs p
+      JOIN mh a ON a.doc_id = p.doc1
+      JOIN mh b ON b.doc_id = p.doc2
+    )
+    SELECT c.m_match,
+           COUNT(*) AS n_pairs,
+           ROUND(c.m_match / 8.0, 6) AS est_jaccard,
+           ROUND(CAST(SUM(CAST(ROUND(s.jaccard, 6) AS DECIMAL(10,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_true_jaccard,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(c.m_match / 8.0 - s.jaccard), 6)
+                               AS DECIMAL(10,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+    FROM comp c
+    JOIN scored s ON s.doc1 = c.doc1 AND s.doc2 = c.doc2
+    GROUP BY c.m_match
+    ORDER BY c.m_match
+    """,
+    tags=("dedup", "minhash", "audit"),
+    tables=("documents",),
+)
+def dd9_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration audit for dd2's MinHash: over the SAME banded
+    (and hot-bucket-capped) candidate pairs dd2 emits, bucket pairs by how
+    many of the 8 minhash components agree (m_match — the MinHash Jaccard
+    estimate is m/8) and report mean TRUE Jaccard + mean absolute estimator
+    error per bucket. The a14b discipline (audit the sketch against the
+    exact answer inside one query) applied to MinHash: a sketch an engine
+    ships without its measured error profile is a liability at 100 TB,
+    where thresholds on the ESTIMATE decide what gets deleted.
+
+    Scale posture: reuses dd2's pipeline pieces (signatures are one grouped
+    pass, candidates banded + capped); the component-agreement join touches
+    signatures (8 fixed md5 columns per doc), not token sets, and the exact
+    Jaccard runs only on candidate pairs — everything is
+    candidate-volume-bounded, which the cap bounds in turn."""
+    from ..operators.dedup import (
+        doc_token_arrays,
+        doc_token_sets,
+        jaccard_scores,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.table("documents")
+    tok = doc_token_sets(docs)
+    sig = minhash_signatures(tok, num_perm=8)
+    pairs = lsh_candidate_pairs(
+        sig, num_perm=8, rows_per_band=2, max_bucket=DD2_MAX_BUCKET
+    )
+    scores = jaccard_scores(pairs, doc_token_arrays(docs))
+    a = sig.select(
+        F.col("doc_id").alias("doc1"), *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(8)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc2"), *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(8)]
+    )
+    comp = (
+        pairs.join(a, "doc1")
+        .join(b, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            sum(
+                [(F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)],
+                F.lit(0),
+            ).alias("m_match"),
+        )
+    )
+    joined = comp.join(scores, ["doc1", "doc2"]).select(
+        "m_match",
+        F.round("jaccard", 6).cast("decimal(10,6)").alias("j_dec"),
+        F.round(F.abs(F.col("m_match") / 8.0 - F.col("jaccard")), 6)
+        .cast("decimal(10,6)")
+        .alias("err_dec"),
+    )
+    return (
+        joined.groupBy("m_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("j_dec").alias("sj"),
+            F.sum("err_dec").alias("se"),
+        )
+        .select(
+            "m_match",
+            "n_pairs",
+            F.round(F.col("m_match") / 8.0, 6).alias("est_jaccard"),
+            F.round(F.col("sj").cast("double") / F.col("n_pairs"), 6).alias(
+                "mean_true_jaccard"
+            ),
+            F.round(F.col("se").cast("double") / F.col("n_pairs"), 6).alias(
+                "mean_abs_err"
+            ),
+        )
+        .orderBy("m_match")
+    )

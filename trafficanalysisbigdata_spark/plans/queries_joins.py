@@ -289,3 +289,59 @@ def j8_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
     ).orderBy("d")
+
+
+@register(
+    "j9_bloom_pruned_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+    tables=(),  # reads parquet directly on a conf-cloned session (below)
+)
+def j9_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — Catalyst's row-level runtime
+    filtering: the selective orders side (o_totalprice bar) builds a bloom
+    filter DURING planning-injected subquery execution, and the lineitem
+    scan applies might_contain(xxhash64(l_orderkey)) BEFORE the shuffle, so
+    rows that cannot join never leave the map side. On a 100 TB fact-fact
+    join where the dim-side filter keeps 1%, this is the difference between
+    shuffling the whole fact table and shuffling 1% of it — the runtime
+    analogue of static partition pruning, and it composes with AQE.
+
+    Runs on a conf-CLONED session (spark.newSession(): same SparkContext,
+    isolated SQLConf) so the lowered bloom thresholds that force injection
+    at fixture scale never leak into other queries' plans. Plan-guarded:
+    tests/test_plans.py asserts might_contain on the lineitem side."""
+    from ..io import load_table
+    from ..session import prep
+
+    s2 = spark.newSession()
+    prep(s2)
+    for key, val in {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # force the fact-fact SMJ shape the filter exists for (at fixture
+        # scale AQE would otherwise just broadcast the filtered orders)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        s2.conf.set(key, val)
+    orders = load_table(s2, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = load_table(s2, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

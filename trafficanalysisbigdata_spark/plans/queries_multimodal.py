@@ -342,3 +342,72 @@ def mm8_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@register(
+    "mm9_frame_dedup",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT media_id, substr(text, i.i * 32 + 1, 32) AS frame
+      FROM vids, (SELECT UNNEST(range(0, 64)) AS i) i
+      WHERE i.i * 32 < strlen(text)
+    ), occ AS (
+      SELECT md5(frame) AS fp, media_id, COUNT(*) AS occ
+      FROM frames GROUP BY 1, 2
+    ), xdoc AS (
+      SELECT fp, COUNT(*) AS n_assets FROM occ GROUP BY fp
+    )
+    SELECT o.media_id,
+           CAST(SUM(o.occ) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN x.n_assets >= 2 THEN o.occ ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           ROUND(SUM(CASE WHEN x.n_assets >= 2 THEN o.occ ELSE 0 END) * 1.0
+                 / SUM(o.occ), 6) AS shared_frac
+    FROM occ o JOIN xdoc x USING (fp)
+    GROUP BY o.media_id ORDER BY o.media_id
+    """,
+    tags=("multimodal", "frames", "dedup"),
+    tables=("documents",),
+)
+def mm9_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video dedup — dd7's duplicated-span semantics at the
+    frame boundary: a frame is SHARED if its content occurs in >= 2
+    distinct video assets (re-encoded copies, spliced segments); each video
+    reports total frames, cross-asset shared frames, and the shared
+    fraction — the removal signal a video-dedup pass thresholds on, at
+    frame (not whole-file) granularity where partial copies live.
+
+    Scale posture: frames fan out inside mapInPandas (no shuffle to
+    explode); per-(frame-key, asset) occurrences partial-aggregate
+    map-side so intra-video repetition never crosses the wire; the key is
+    an 8-byte xxhash64 of the frame bytes (dd7's long-key discipline —
+    the md5-keyed oracle counts the same distinct sets), and asset
+    frequency is a second skinny partial agg. Whole frames never shuffle."""
+    from ..operators.multimodal import sample_frames
+
+    frames = sample_frames(synthesize_media(spark.table("documents")), frame_bytes=32)
+    occ = frames.groupBy(
+        F.xxhash64("frame").alias("fp"), "media_id"
+    ).agg(F.count(F.lit(1)).alias("occ"))
+    xdoc = occ.groupBy("fp").agg(F.count(F.lit(1)).alias("n_assets"))
+    return (
+        occ.join(xdoc, "fp")
+        .groupBy("media_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_frames"),
+            F.sum(F.when(F.col("n_assets") >= 2, F.col("occ")).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            "n_shared",
+            F.round(F.col("n_shared") * 1.0 / F.col("n_frames"), 6).alias(
+                "shared_frac"
+            ),
+        )
+        .orderBy("media_id")
+    )

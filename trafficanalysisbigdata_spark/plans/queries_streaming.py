@@ -561,3 +561,145 @@ def st10_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "st11_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total,
+           CAST(max_by(event_id, event_id) AS BIGINT) AS last_event_id,
+           ROUND(max_by(value, event_id), 2) AS last_value
+    FROM events WHERE user_id < 25
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "foreachBatch", "upsert", "sink"),
+    tables=("events",),
+)
+def st11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming KEYED-UPSERT SINK pattern — foreachBatch merging each
+    micro-batch into a versioned state table: counters accumulate
+    (n += batch_n, total += batch_total) and latest-attribute columns
+    resolve by event recency (last_value = value of the max event_id seen),
+    i.e. the CDC materialization every operational dashboard sits on. Each
+    batch publishes state as an immutable new version directory (write,
+    then readers switch — the atomic-publish idiom s13/s16 use in batch),
+    so a crash mid-batch leaves the previous version intact and the
+    checkpoint replays the batch: effectively-once state.
+
+    The stream is REAL (two staged files, maxFilesPerTrigger=1 forces the
+    merge to run across >= 2 micro-batches under Trigger.AvailableNow);
+    the merge itself is a full-outer join on the key with coalesced
+    counters — increment-side-bounded like dd8, since only the batch's
+    keys and the state's keys join, and state is one row per key. The
+    final state equals the batch aggregate (the oracle) REGARDLESS of how
+    events split across batches — the upsert algebra is associative.
+
+    Scale posture: state is a keyed parquet table partitionable by key
+    range; each micro-batch joins batch-keys x state (key-pruned at real
+    table layouts), never rescans the stream's history. The versioned-dir
+    publish is what Delta/Iceberg MERGE does under snapshot isolation —
+    expressed here in plain parquet."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..io import load_table
+    from ..session import prep
+
+    prep(spark)
+    run_id = uuid.uuid4().hex[:10]
+    work = tempfile.mkdtemp(prefix=f"st11_{os.getpid()}_{run_id}_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root)
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .filter(F.col("user_id") < 25)
+    )
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def upsert(batch_df, batch_id: int) -> None:
+        b = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
+            F.max("event_id").alias("last_event_id"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+        versions = sorted(
+            d for d in os.listdir(state_root) if d.startswith("v")
+        )
+        if versions:
+            s = batch_df.sparkSession.read.parquet(
+                os.path.join(state_root, versions[-1])
+            )
+            joined = s.alias("s").join(
+                b.alias("b"), "user_id", "full_outer"
+            )
+            merged = joined.select(
+                "user_id",
+                (
+                    F.coalesce(F.col("s.n"), F.lit(0))
+                    + F.coalesce(F.col("b.n"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(
+                        F.col("s.total_dec"), F.lit(0).cast("decimal(18,6)")
+                    )
+                    + F.coalesce(
+                        F.col("b.total_dec"), F.lit(0).cast("decimal(18,6)")
+                    )
+                ).alias("total_dec"),
+                F.greatest(
+                    F.coalesce(F.col("s.last_event_id"), F.lit(-1)),
+                    F.coalesce(F.col("b.last_event_id"), F.lit(-1)),
+                ).alias("last_event_id"),
+                F.when(
+                    F.coalesce(F.col("b.last_event_id"), F.lit(-1))
+                    > F.coalesce(F.col("s.last_event_id"), F.lit(-1)),
+                    F.col("b.last_value"),
+                )
+                .otherwise(F.col("s.last_value"))
+                .alias("last_value"),
+            )
+        else:
+            merged = b
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id:05d}")
+        )
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("structured stream did not drain within 300 s")
+
+    final = sorted(d for d in os.listdir(state_root) if d.startswith("v"))[-1]
+    return (
+        spark.read.parquet(os.path.join(state_root, final))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("total_dec").cast("double"), 2).alias("total"),
+            F.col("last_event_id").cast("bigint").alias("last_event_id"),
+            F.round("last_value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
