@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "dd9_minhash_calibration",
     "mm9_frame_dedup",
     "j9_bloom_pruned_join",
+    "set2_multiset_algebra",
+    "w10_rolling_median",
     # st11 excluded like st7/st9: real-stream startup dominates wall time
 ]
 

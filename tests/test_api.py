@@ -90,6 +90,9 @@ def test_corpus_pipeline_facade_matches_registry(spark, sf_dir):
         (cp.quality_by_source, "tx2_quality_by_source"),
         (cp.training_mix, "pipe7_temperature_resample"),
         (cp.shard_manifest, "pipe8_shard_manifest"),
+        (cp.minhash_calibration, "dd9_minhash_calibration"),
+        (cp.frame_dedup, "mm9_frame_dedup"),
+        (cp.zipf_profile, "tx12_zipf_slope"),
     ]:
         got = sorted(map(tuple, facade_fn().collect()))
         want = sorted(map(tuple, specs[qname].run(spark, sf_dir).collect()))
@@ -98,3 +101,5 @@ def test_corpus_pipeline_facade_matches_registry(spark, sf_dir):
     probes = cp.embeddings.filter(F.col("vec_id") < 3)
     topk = cp.ann_topk(probes, k=3).collect()
     assert len(topk) == 3 * 3
+    rer = cp.ann_topk_reranked(probes, k=3).collect()
+    assert len(rer) == 3 * 3 and all(r.cos is not None for r in rer)

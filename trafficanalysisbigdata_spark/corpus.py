@@ -135,12 +135,37 @@ class CorpusPipeline:
 
         return quantized_topk(self._need_embeddings(), probes, k=k)
 
+    def ann_topk_reranked(
+        self, probes: DataFrame, k: int = 5, shortlist_factor: int = 4
+    ) -> DataFrame:
+        """Two-stage serving retrieval: int8 shortlist -> exact rerank
+        (sim9 — the production pattern for a quantized store)."""
+        from .operators.similarity import two_stage_rerank_topk
+
+        return two_stage_rerank_topk(
+            self._need_embeddings(), probes, k=k, shortlist_factor=shortlist_factor
+        )
+
     def semantic_dedup(self, n_centroids: int = 8, threshold: float = 0.30) -> DataFrame:
         from .operators.similarity import centroid_semantic_dedup
 
         return centroid_semantic_dedup(
             self._need_embeddings(), n_centroids=n_centroids, threshold=threshold
         )
+
+    def minhash_calibration(self) -> DataFrame:
+        """Per-agreement-bucket error profile of the MinHash estimator over
+        the banded candidate pairs (dd9) — run this before trusting a
+        threshold on the ESTIMATE to delete data."""
+        return self._run("dd9_minhash_calibration")
+
+    def frame_dedup(self) -> DataFrame:
+        """Cross-asset duplicated-frame report for video content (mm9)."""
+        return self._run("mm9_frame_dedup")
+
+    def zipf_profile(self) -> DataFrame:
+        """Per-language Zipf-slope corpus fingerprint (tx12)."""
+        return self._run("tx12_zipf_slope")
 
 
 __all__ = ["CorpusPipeline"]

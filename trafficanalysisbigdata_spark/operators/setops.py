@@ -34,3 +34,17 @@ def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
 def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     """SQL EXCEPT — planned as a left-anti join of the distincts."""
     return a.subtract(b)
+
+
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL INTERSECT ALL — multiset semantics: a row appears min(n_a, n_b)
+    times. Spark plans it as per-side counts + a generate, so the shuffle
+    still moves (row, count) pairs, never row multiplicity expanded."""
+    return a.intersectAll(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL EXCEPT ALL — multiset difference: max(n_a - n_b, 0) copies
+    survive. The bag form dedup ledgers need (how many EXTRA copies does
+    side A hold), which the distinct form destroys."""
+    return a.exceptAll(b)

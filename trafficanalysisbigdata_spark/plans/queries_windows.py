@@ -340,3 +340,55 @@ def w9_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
         .orderBy("d")
     )
+
+
+@register(
+    "w10_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, value,
+           quantile_disc(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median
+    FROM events WHERE user_id < 30
+    ORDER BY user_id, ts, event_id
+    """,
+    tags=("window", "median", "composition"),
+    tables=("events",),
+)
+def w10_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (trailing-7-row) MEDIAN per user — an aggregate Spark's
+    window functions don't ship (no percentile over a moving frame), built
+    as a composition of existing ops: collect_list over the ROWS frame ->
+    array_sort -> element_at(ceil(n/2)), which picks exactly the
+    discrete-median element DuckDB's quantile_disc(0.5) picks (smallest
+    value with cumulative share >= 0.5). The robust-smoothing primitive for
+    noisy operational series, where a rolling MEAN chases every spike.
+
+    Scale posture: the frame is ROWS-bounded (7 elements), so the
+    per-row array is constant-size regardless of stream length and the
+    whole computation stays inside the one user-partitioned sort the
+    window already pays — no self-join, no explode. The median element is
+    PICKED, not computed (zero float arithmetic), so cross-engine equality
+    is exact."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    return (
+        spark.table("events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            "value",
+            F.element_at(
+                arr, F.ceil(F.size(arr) / 2).cast("int")
+            ).alias("rolling_median"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
