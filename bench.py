@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "j9_bloom_pruned_join",
     "set2_multiset_algebra",
     "w10_rolling_median",
+    "olap10_scd2_asof_snapshot",
+    "sql10_disjunctive_revenue",
+    "sql11_dormant_rich_customers",
     # st11 excluded like st7/st9: real-stream startup dominates wall time
 ]
 

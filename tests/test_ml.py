@@ -204,3 +204,29 @@ def test_tuned_rf_cv_ranges(spark, sf_dir):
     # local[32] at sf0.001 — BENCH_LOCAL.md; single-node gain is bounded by
     # the folds sharing one executor pool)
     assert r["parallelism"] > 1
+
+
+def test_model_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """Ops contract: a fitted model must survive save/load with identical
+    predictions — the artifact a training pipeline persists IS the model,
+    and a silent scoring drift after reload is a production incident."""
+    from pyspark.ml import PipelineModel
+
+    from trafficanalysisbigdata_spark.io import register_views
+    from trafficanalysisbigdata_spark.ml.models import rf_regression
+    from trafficanalysisbigdata_spark.session import prep
+
+    prep(spark)
+    register_views(spark, sf_dir, "events")
+    r = rf_regression(spark.table("events"))
+    model = r["model"]
+    path = str(tmp_path / "rf_model")
+    model.save(path)
+    reloaded = PipelineModel.load(path)
+
+    from trafficanalysisbigdata_spark.ml.models import feature_frame
+
+    df = feature_frame(spark.table("events")).limit(200)
+    a = model.transform(df).select("prediction").collect()
+    b = reloaded.transform(df).select("prediction").collect()
+    assert [x.prediction for x in a] == [x.prediction for x in b]

@@ -234,3 +234,21 @@ def test_j9_runtime_bloom_filter_injected(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j9_bloom_pruned_join")
     assert "might_contain" in plan
     assert "l_orderkey" in plan.split("might_contain", 1)[1][:200]
+
+
+def test_sql10_disjunction_pushed_to_part_scan(spark, sf_dir):
+    """sql10 (Q19 shape): the brand/size disjunction must reach the part
+    scan as a pushed Or filter — evaluating the OR-of-ANDs only post-join
+    would read every part row."""
+    plan = _plan(spark, sf_dir, "sql10_disjunctive_revenue")
+    scans = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    part_scan = [ln for ln in scans if "p_brand" in ln]
+    assert part_scan and any("Or(" in ln for ln in part_scan)
+
+
+def test_sql11_not_exists_becomes_anti_join(spark, sf_dir):
+    """sql11 (Q22 shape): NOT EXISTS must plan as a left anti join on the
+    order keys, and the scalar average subquery must not shuffle the
+    customer table twice."""
+    plan = _plan(spark, sf_dir, "sql11_dormant_rich_customers")
+    assert "LeftAnti" in plan

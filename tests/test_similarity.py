@@ -261,3 +261,36 @@ def test_sim4_zero_norm_guard(spark):
     ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
     assert 0 not in ids          # zero vector excluded from both sides
     assert all(r.qcos is not None for r in out)
+
+
+def test_two_stage_rerank_recall_dominates_quantized(spark, sf_dir):
+    """sim9's exact rerank over a 4k int8 shortlist must recover at least
+    as much of the exact top-5 as plain quantized top-5 — reranking can
+    only fix stage-1 ordering errors within the shortlist, never add new
+    ones — and on these fixtures it should be near-perfect."""
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        quantized_topk,
+        two_stage_rerank_topk,
+    )
+
+    prep(spark)
+    register_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in quantized_topk(emb, probes, k=5).collect()
+    }
+    rerank = {
+        (r.query_id, r.neighbor_id)
+        for r in two_stage_rerank_topk(emb, probes, k=5).collect()
+    }
+    r_quant = len(exact & quant) / len(exact)
+    r_rerank = len(exact & rerank) / len(exact)
+    assert r_rerank >= r_quant, (r_rerank, r_quant)
+    assert r_rerank >= 0.95, f"rerank recall too low: {r_rerank}"

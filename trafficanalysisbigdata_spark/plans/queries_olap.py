@@ -740,3 +740,94 @@ def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "olap10_scd2_asof_snapshot",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM seq
+    ), grouped AS (
+      SELECT user_id, run_id, event_type AS attr, MIN(ts) AS valid_from
+      FROM runs GROUP BY 1, 2, 3
+    ), intervals AS (
+      SELECT user_id, attr, valid_from,
+             COALESCE(LEAD(valid_from) OVER w2,
+                      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      FROM grouped
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, run_id)
+    )
+    SELECT attr,
+           COUNT(*) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+    FROM intervals
+    WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+      AND valid_to > TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY attr ORDER BY attr
+    """,
+    tags=("olap", "scd2", "asof", "warehouse"),
+    tables=("events",),
+)
+def olap10_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) query over the SCD2 history olap7 builds: which
+    attribute was each user in at T, summarized per attribute — the
+    'reconstruct the world as of' query that is the REASON warehouses build
+    validity intervals at all. One interval matches per user (intervals
+    partition each user's timeline), so the snapshot is a filter, never a
+    window over history.
+
+    Scale posture: identical build shape to olap7 (all windows partitioned
+    by user_id, runs collapse partial-aggregable); the AS-OF filter is a
+    pair of range predicates on interval bounds — on a materialized
+    interval table this is a pushed scan predicate, and at 100 TB the
+    interval table is what you'd persist (s14's partition-upsert maintains
+    it) so snapshots never re-derive runs."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        spark.table("events")
+        .filter(F.col("user_id") < 100)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = seq.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grouped = runs.groupBy("user_id", "run_id", F.col("event_type").alias("attr")).agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
+    t = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    intervals = grouped.withColumn(
+        "valid_to",
+        F.coalesce(
+            F.lead("valid_from").over(w2),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ),
+    )
+    return (
+        intervals.filter((F.col("valid_from") <= t) & (F.col("valid_to") > t))
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.sum("user_id").cast("bigint").alias("user_id_sum"),
+        )
+        .orderBy("attr")
+    )

@@ -260,3 +260,56 @@ register_sql(
     "custkey tie-break) plans as TakeOrderedAndProject over the grouped "
     "join — the 'who do we call first' operational report at any scale.",
 )
+
+register_sql(
+    "sql10_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 5 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 10 AND l_quantity <= 50)
+    """,
+    tags=("sql", "disjunctive", "tpch"),
+    tables=("lineitem", "part"),
+    doc="TPC-H Q19 shape via spark.sql — the OR-of-ANDs predicate that "
+    "stresses disjunctive pushdown: Catalyst factors the cross-relation "
+    "disjunction so each side still prunes (part scans with the brand/size "
+    "disjunction pushed, lineitem with the quantity envelope), instead of "
+    "evaluating the whole predicate post-join. The plan guard asserts the "
+    "part-side scan carries pushed Or filters.",
+)
+
+register_sql(
+    "sql11_dormant_rich_customers",
+    """
+    WITH bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer c, bal
+    WHERE c.c_acctbal > bal.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("sql", "anti", "subquery", "tpch"),
+    tables=("customer", "orders"),
+    doc="TPC-H Q22 shape via spark.sql — customers with above-average "
+    "balances and NO orders (the dormant-capital report): a scalar "
+    "aggregate subquery (broadcast single row; the average is computed "
+    "from an exact decimal sum divided once in double, so the threshold "
+    "is engine-identical) plus NOT EXISTS planned as a left ANTI join on "
+    "the order keys — never a per-customer probe.",
+)
