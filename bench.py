@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "olap10_scd2_asof_snapshot",
     "sql10_disjunctive_revenue",
     "sql11_dormant_rich_customers",
+    "sql12_local_supplier_volume",
+    "sql13_small_quantity_revenue",
+    "sql14_top_revenue_supplier",
     # st11 excluded like st7/st9: real-stream startup dominates wall time
 ]
 

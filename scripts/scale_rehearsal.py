@@ -626,11 +626,67 @@ def run_streaming_family(spark, src: str, n_rows: int, ckpt_base: str) -> dict:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{name} did not drain within 600 s")
         wall = time.perf_counter() - t0
         out[name] = round(wall, 2)
         out[name + "_rows_per_s"] = int(n_rows / wall)
         print(f"  {name}: {out[name]}s ({out[name + '_rows_per_s']} rows/s)", file=sys.stderr, flush=True)
+
+    # st11's foreachBatch keyed-upsert sink — separate block because its
+    # writer is foreachBatch (versioned parquet state), not a format sink
+    import tempfile as _tf
+
+    state_root = _tf.mkdtemp(prefix="reh_upsert_")
+
+    def upsert(batch_df, batch_id: int) -> None:
+        b = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        versions = sorted(d for d in os.listdir(state_root) if d.startswith("v"))
+        if versions:
+            s = batch_df.sparkSession.read.parquet(
+                os.path.join(state_root, versions[-1])
+            )
+            m = s.alias("s").join(b.alias("b"), "user_id", "full_outer").select(
+                "user_id",
+                (
+                    F.coalesce(F.col("s.n"), F.lit(0))
+                    + F.coalesce(F.col("b.n"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(F.col("s.total"), F.lit(0.0))
+                    + F.coalesce(F.col("b.total"), F.lit(0.0))
+                ).alias("total"),
+            )
+        else:
+            m = b
+        m.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id:05d}")
+        )
+
+    ck = os.path.join(ckpt_base, f"st_upsert_{uuid.uuid4().hex[:8]}")
+    t0 = time.perf_counter()
+    q = (
+        stream()
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("st_upsert_sink did not drain within 600 s")
+    wall = time.perf_counter() - t0
+    out["st_upsert_sink"] = round(wall, 2)
+    out["st_upsert_sink_rows_per_s"] = int(n_rows / wall)
+    print(
+        f"  st_upsert_sink: {out['st_upsert_sink']}s "
+        f"({out['st_upsert_sink_rows_per_s']} rows/s)",
+        file=sys.stderr,
+        flush=True,
+    )
     return out
 
 

@@ -490,3 +490,62 @@ def test_sink_queries_run_concurrently(spark, sf_dir):
     for n in names:
         assert results[(0, n)] == results[(1, n)], f"{n} diverged across threads"
         assert results[(0, n)], f"{n} returned no rows"
+
+
+def test_rolling_median_short_frames(spark):
+    """w10's composition must yield the discrete median on frames shorter
+    than the window width (warm-up rows) — element_at(ceil(n/2)) on n=1..3."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 1.0), (1, 3, 9.0), (1, 4, 3.0)],
+        "user_id long, event_id long, value double",
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    out = {
+        r.event_id: r.med
+        for r in df.select(
+            "event_id",
+            F.element_at(arr, F.ceil(F.size(arr) / 2).cast("int")).alias("med"),
+        ).collect()
+    }
+    # frames: [5] -> 5; [1,5] -> 1 (disc lower-middle); [1,5,9] -> 5;
+    # [1,3,5,9] -> 3
+    assert out == {1: 5.0, 2: 1.0, 3: 5.0, 4: 3.0}
+
+
+def test_multiset_ops_empty_sides(spark):
+    """set2's ALL forms on empty/disjoint sides: INTERSECT ALL with an
+    empty side is empty; EXCEPT ALL with an empty subtrahend is the bag
+    itself, multiplicity preserved."""
+    from trafficanalysisbigdata_spark.operators.setops import except_all, intersect_all
+
+    a = spark.createDataFrame([(1,), (1,), (2,)], "user_id long")
+    empty = spark.createDataFrame([], "user_id long")
+    assert intersect_all(a, empty).count() == 0
+    assert sorted(r.user_id for r in except_all(a, empty).collect()) == [1, 1, 2]
+    # multiplicity arithmetic: {1,1,2} ∩all {1} = {1}; {1,1,2} \all {1} = {1,2}
+    b = spark.createDataFrame([(1,)], "user_id long")
+    assert sorted(r.user_id for r in intersect_all(a, b).collect()) == [1]
+    assert sorted(r.user_id for r in except_all(a, b).collect()) == [1, 2]
+
+
+def test_two_stage_rerank_small_corpus(spark):
+    """sim9 when the corpus is smaller than the shortlist: every non-self,
+    nonzero-norm neighbor survives to the rerank and top-k truncates
+    correctly."""
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        two_stage_rerank_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.5, 2.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = two_stage_rerank_topk(df, df.filter("vec_id = 0"), k=10)
+    rows = out.collect()
+    assert {r.neighbor_id for r in rows} == {1, 2, 3}
+    cos = [r.cos for r in sorted(rows, key=lambda r: -r.cos)]
+    assert cos == sorted(cos, reverse=True)

@@ -178,3 +178,75 @@ def test_duplicate_span_stats_invariants(spark, texts):
         if len(ids) >= 2:
             for i in ids:
                 assert rows[i].dup_frac == 1.0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user_id
+            st.integers(min_value=0, max_value=200),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+def test_upsert_algebra_batch_split_invariant(spark, rows, n_batches):
+    """st11's merge algebra must be associative over ANY batch split: event
+    rows dealt into k batches, folded through the counter+latest upsert,
+    always equal the one-shot batch aggregate. event_id is the global
+    sequence, so 'latest' is well-defined regardless of which batch a row
+    lands in."""
+    from pyspark.sql import functions as F
+
+    data = [
+        (i, uid, cents / 100.0) for i, (uid, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, value double")
+
+    def agg(d):
+        return d.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
+            F.max("event_id").alias("last_event_id"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+
+    state = None
+    for b in range(n_batches):
+        batch = agg(df.filter(F.col("event_id") % n_batches == b))
+        if state is None:
+            state = batch
+        else:
+            j = state.alias("s").join(batch.alias("b"), "user_id", "full_outer")
+            state = j.select(
+                "user_id",
+                (
+                    F.coalesce(F.col("s.n"), F.lit(0))
+                    + F.coalesce(F.col("b.n"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(F.col("s.total_dec"), F.lit(0).cast("decimal(18,6)"))
+                    + F.coalesce(F.col("b.total_dec"), F.lit(0).cast("decimal(18,6)"))
+                ).alias("total_dec"),
+                F.greatest(
+                    F.coalesce(F.col("s.last_event_id"), F.lit(-1)),
+                    F.coalesce(F.col("b.last_event_id"), F.lit(-1)),
+                ).alias("last_event_id"),
+                F.when(
+                    F.coalesce(F.col("b.last_event_id"), F.lit(-1))
+                    > F.coalesce(F.col("s.last_event_id"), F.lit(-1)),
+                    F.col("b.last_value"),
+                )
+                .otherwise(F.col("s.last_value"))
+                .alias("last_value"),
+            )
+
+    got = sorted(map(tuple, state.collect()))
+    want = sorted(map(tuple, agg(df).collect()))
+    assert got == want

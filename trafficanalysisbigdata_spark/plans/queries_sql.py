@@ -313,3 +313,90 @@ register_sql(
     "is engine-identical) plus NOT EXISTS planned as a left ANTI join on "
     "the order keys — never a per-customer probe.",
 )
+
+register_sql(
+    "sql12_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    tags=("sql", "join", "tpch"),
+    tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    doc="TPC-H Q5 shape via spark.sql — LOCAL supplier volume: the join "
+    "CYCLE (supplier joins lineitem on s_suppkey AND customer on "
+    "s_nationkey = c_nationkey) that breaks naive left-deep planning: the "
+    "nationkey equality must ride the supplier join as a second conjunct, "
+    "not a post-join filter, or the join explodes before pruning. Region "
+    "filter prunes nation->supplier/customer; one-year date range pushed.",
+)
+
+register_sql(
+    "sql13_small_quantity_revenue",
+    """
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*)) AS qty_bar
+      FROM lineitem GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < a.qty_bar
+    """,
+    tags=("sql", "subquery", "decorrelated", "tpch"),
+    tables=("lineitem", "part"),
+    doc="TPC-H Q17 shape via spark.sql — revenue from SMALL orders: each "
+    "lineitem compares against 0.2x its part's average quantity. Written "
+    "(and planned) as the DECORRELATED form: one pre-aggregation of "
+    "lineitem per part joined back, instead of a correlated scalar "
+    "subquery evaluated per row — the rewrite that turns O(rows x parts) "
+    "into two scans + one join. The per-part bar divides an exact decimal "
+    "sum once in double, so the threshold is engine-identical.",
+)
+
+register_sql(
+    "sql14_top_revenue_supplier",
+    """
+    WITH srev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    ), mx AS (
+      SELECT MAX(rev_dec) AS best FROM srev
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(srev.rev_dec AS DOUBLE) AS total_revenue
+    FROM srev JOIN mx ON srev.rev_dec = mx.best
+    JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    tags=("sql", "argmax", "tpch"),
+    tables=("lineitem", "supplier"),
+    doc="TPC-H Q15 shape via spark.sql — top revenue supplier(s) for a "
+    "quarter: the view-plus-global-max argmax. The max is a one-row "
+    "aggregate joined back against the per-supplier rollup (broadcast), "
+    "never a global sort; ties surface as multiple rows (exact decimal "
+    "revenue makes tie detection deterministic), ordered by suppkey.",
+)
