@@ -26,9 +26,11 @@ Dial settings at 10× (each documented at its definition):
          fractional caps admit (f·n)²-pair shingles. The absolute bound was
          added in response; at ≤ sf0.1 it changes no results (f·n < 256).
 * dd5  — ``n_centroids`` scales with n (k ≈ n/500): Σ|cell|² stays ~n·cell.
-* sim3/sim4 — ``n_planes`` 4→6 at 10×: per-bucket-family candidate volume is
-         ~n²·L/2^P, so +2 planes ÷4 the collision rate while OR-amplified
-         recall stays high (L=16 tables).
+* sim3/sim4 — ``n_planes`` derives IN CODE from the corpus count
+         (``similarity.adaptive_n_planes``: clamp(log2(n/128), 4, 8)):
+         candidate volume is ~n²·L/2^P, so banding deepens with the corpus
+         while OR-amplified recall stays high (L=16 tables). The rehearsal
+         passes no dial — it measures the shipped rule.
 
 Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm|streaming]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
@@ -250,7 +252,6 @@ def run_family(spark, doc_path: str, emb_path: str, n_docs: int, big: bool) -> d
     docs = spark.read.parquet(doc_path)
     emb = spark.read.parquet(emb_path)
     probes = emb.filter(F.col("vec_id") < 50)
-    n_planes = 6 if big else 4  # sim dial: see module docstring
     n_centroids = max(8, n_docs // 500)  # dd5 dial: k ≈ n/cell_size
 
     # dd2/dd4 run THE SAME pipeline operators the registered queries use
@@ -277,8 +278,9 @@ def run_family(spark, doc_path: str, emb_path: str, n_docs: int, big: bool) -> d
             emb, n_centroids=n_centroids, threshold=0.30
         ).agg(F.sum("n_dupes").alias("dupes")),
         "sim1_bruteforce_topk": lambda: sim.brute_force_topk(emb, probes, k=5),
+        # sim3, like sim4, runs the in-code adaptive_n_planes rule
         "sim3_lsh_topk": lambda: sim.lsh_topk(
-            emb, probes, k=5, n_tables=16, n_planes=n_planes, dim=DIM
+            emb, probes, k=5, n_tables=16, dim=DIM
         ),
         # sim4 takes NO explicit n_planes: the rehearsal measures the
         # in-code adaptive_n_planes rule itself (P=5 at 5k, P=8 at 50k)

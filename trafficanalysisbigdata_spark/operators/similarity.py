@@ -163,13 +163,20 @@ def lsh_topk(
     probes: DataFrame,
     k: int,
     n_tables: int = 16,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only candidates colliding with the probe in
-    at least one of the L hash tables (OR-amplified recall)."""
+    at least one of the L hash tables (OR-amplified recall).
+
+    ``n_planes=None`` derives the dial from the corpus count via
+    ``adaptive_n_planes`` (per-probe candidate volume is ~probes·n/2^P, so
+    banding must deepen with the corpus like the pair path); pass an
+    explicit value to pin a band layout against a static oracle."""
+    if n_planes is None:
+        n_planes = adaptive_n_planes(corpus.count())
     cb = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "neighbor_id")
     pb = _exploded_buckets(probes, n_tables, n_planes, dim, id_col, vec_col, "query_id")
     cand = (
