@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "sql12_local_supplier_volume",
     "sql13_small_quantity_revenue",
     "sql14_top_revenue_supplier",
+    "mm10_scene_changes",
     # st11 excluded like st7/st9: real-stream startup dominates wall time
 ]
 

@@ -157,6 +157,7 @@ def run_100x_mode(spark) -> None:
     extrapolate."""
     from pyspark.sql import functions as F
 
+    from trafficanalysisbigdata_spark.operators import components
     from trafficanalysisbigdata_spark.operators import dedup as dd
 
     sizes = {"10x": N_SMALL * SCALE, "100x": N_SMALL * SCALE * 10}
@@ -175,6 +176,17 @@ def run_100x_mode(spark) -> None:
             ),
             "dd8_incremental_dedup": _registered_over_view(
                 spark, "dd8_incremental_dedup", {"documents": docs_with_lang(docs)}
+            ),
+            # the iterative machinery at 500k nodes: 16-chains keep round
+            # count O(log 16) while edge volume grows 10x — wall should
+            # track edges, proving pointer-jumping CC extrapolates too
+            "dd6_components": lambda: components.connected_components(
+                docs.select(F.col("doc_id").alias("doc1"))
+                .filter(F.col("doc_id") % 16 != 15)
+                .withColumn("doc2", F.col("doc1") + 1)
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("component").alias("n_comp"),
             ),
         }
         res = {}

@@ -411,3 +411,79 @@ def mm9_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "mm10_scene_changes",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT media_id, i.i AS frame_idx, substr(text, i.i * 32 + 1, 32) AS frame
+      FROM vids, (SELECT UNNEST(range(0, 64)) AS i) i
+      WHERE i.i * 32 < strlen(text)
+    ), energy AS (
+      SELECT media_id, frame_idx,
+             SUM(unicode(substr(frame, j.j, 1))) AS energy
+      FROM frames, (SELECT UNNEST(range(1, 33)) AS j) j
+      WHERE j.j <= strlen(frame)
+      GROUP BY 1, 2
+    ), delta AS (
+      SELECT media_id, energy,
+             LAG(energy) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+      FROM energy
+    )
+    SELECT media_id,
+           COUNT(*) AS n_frames,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND ABS(energy - prev) > 200
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scene_changes,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND ABS(energy - prev) > 200
+                         THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes
+    FROM delta GROUP BY media_id ORDER BY media_id
+    """,
+    tags=("multimodal", "frames", "temporal"),
+    tables=("documents",),
+)
+def mm10_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over sampled video frames — the temporal
+    analytic the frame family exists for: per frame an energy score (byte
+    sum — in production a luma histogram or phash), a scene cut wherever
+    the frame-to-frame delta clears a threshold, per video the frame/cut/
+    scene counts. The shot-segmentation primitive behind keyframe
+    selection and per-scene captioning in a video training pipeline.
+
+    Scale posture: frames fan out inside mapInPandas (no shuffle); the
+    per-frame energy is a partial-aggregable byte sum; the ONLY ordered
+    operation is a lag over (video, frame_idx) — frames-per-video bounded,
+    embarrassingly parallel across videos; the final rollup is one skinny
+    partial/final agg."""
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import sample_frames
+
+    frames = sample_frames(synthesize_media(spark.table("documents")), frame_bytes=32)
+    chars = frames.select(
+        "media_id",
+        "frame_idx",
+        F.posexplode(
+            F.array_remove(F.split(F.col("frame").cast("string"), ""), "")
+        ).alias("pos", "ch"),
+    )
+    energy = chars.groupBy("media_id", "frame_idx").agg(
+        F.sum(F.ascii("ch")).alias("energy")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    delta = energy.withColumn("prev", F.lag("energy").over(w))
+    chg = (
+        F.col("prev").isNotNull()
+        & (F.abs(F.col("energy") - F.col("prev")) > 200)
+    ).cast("bigint")
+    return (
+        delta.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(chg).alias("n_scene_changes"),
+            (F.sum(chg) + 1).alias("n_scenes"),
+        )
+        .orderBy("media_id")
+    )
