@@ -188,6 +188,15 @@ def run_100x_mode(spark) -> None:
                 F.count(F.lit(1)).alias("n"),
                 F.countDistinct("component").alias("n_comp"),
             ),
+            # the text family's two heaviest registered queries at 500k
+            # docs — linear-postings claims for TF-IDF and the boilerplate
+            # window, through the shipped code path
+            "tx6_tfidf": _registered_over_view(
+                spark, "tx6_tfidf_top_terms", {"documents": docs_with_lang(docs)}
+            ),
+            "tx9_boilerplate": _registered_over_view(
+                spark, "tx9_boilerplate_share", {"documents": docs_with_lang(docs)}
+            ),
         }
         res = {}
         for name, fn in ops.items():
@@ -207,12 +216,15 @@ def run_100x_mode(spark) -> None:
 
 
 def docs_with_lang(docs):
-    """Rehearsal corpus lacks the fixture's lang dim; derive a 4-way split
-    so dd8's per-lang report has real groups."""
+    """Rehearsal corpus lacks the fixture's lang/source dims; derive
+    deterministic 4-way splits so per-lang/per-source reports have real
+    groups."""
     from pyspark.sql import functions as F
 
     return docs.withColumn(
         "lang", F.concat(F.lit("l"), (F.col("doc_id") % 4).cast("string"))
+    ).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
     )
 
 

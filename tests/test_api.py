@@ -92,6 +92,7 @@ def test_corpus_pipeline_facade_matches_registry(spark, sf_dir):
         (cp.shard_manifest, "pipe8_shard_manifest"),
         (cp.minhash_calibration, "dd9_minhash_calibration"),
         (cp.frame_dedup, "mm9_frame_dedup"),
+        (cp.scene_changes, "mm10_scene_changes"),
         (cp.zipf_profile, "tx12_zipf_slope"),
     ]:
         got = sorted(map(tuple, facade_fn().collect()))

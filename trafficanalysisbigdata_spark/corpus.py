@@ -163,6 +163,10 @@ class CorpusPipeline:
         """Cross-asset duplicated-frame report for video content (mm9)."""
         return self._run("mm9_frame_dedup")
 
+    def scene_changes(self) -> DataFrame:
+        """Per-video shot segmentation by frame-delta energy (mm10)."""
+        return self._run("mm10_scene_changes")
+
     def zipf_profile(self) -> DataFrame:
         """Per-language Zipf-slope corpus fingerprint (tx12)."""
         return self._run("tx12_zipf_slope")
