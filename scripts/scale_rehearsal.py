@@ -670,7 +670,12 @@ def run_streaming_family(spark, src: str, n_rows: int, ckpt_base: str) -> dict:
         b = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
         )
-        versions = sorted(d for d in os.listdir(state_root) if d.startswith("v"))
+        # replay safety: prior state must be strictly older than this batch
+        versions = sorted(
+            d
+            for d in os.listdir(state_root)
+            if d.startswith("v") and int(d[1:]) < batch_id
+        )
         if versions:
             s = batch_df.sparkSession.read.parquet(
                 os.path.join(state_root, versions[-1])

@@ -451,3 +451,40 @@ def test_stream_stream_left_outer_matches_batch(spark, sf_dir, tmp_path):
     assert set(got) == want
     assert any(v is None for _, v in want), "fixture must produce orphans"
     assert any(v is not None for _, v in want)
+
+
+def test_keyed_upsert_replay_is_idempotent(spark, tmp_path):
+    """The effectively-once contract of the versioned upsert sink: replaying
+    a batch (crash after the version publish, before the checkpoint commit)
+    must produce the SAME final state, because the merge reads only versions
+    strictly older than the replaying batch — reading 'latest' would fold
+    the batch into its own partial output and double-count."""
+    import os
+
+    from trafficanalysisbigdata_spark.streaming.upsert import (
+        keyed_upsert_batch,
+        latest_state,
+    )
+
+    state_root = str(tmp_path / "state")
+    os.makedirs(state_root)
+    upsert = keyed_upsert_batch(state_root)
+
+    b0 = spark.createDataFrame(
+        [(0, 1, 10.0), (1, 2, 5.0)], "event_id long, user_id long, value double"
+    )
+    b1 = spark.createDataFrame(
+        [(2, 1, 7.0), (3, 3, 1.0)], "event_id long, user_id long, value double"
+    )
+    upsert(b0, 0)
+    upsert(b1, 1)
+    want = sorted(map(tuple, latest_state(spark, state_root).collect()))
+
+    # crash-replay: batch 1 runs again with its version dir already present
+    upsert(b1, 1)
+    got = sorted(map(tuple, latest_state(spark, state_root).collect()))
+    assert got == want
+    # and the state is the true cross-batch aggregate
+    by_user = {r[0]: r for r in got}
+    assert by_user[1][1] == 2 and float(by_user[1][2]) == 17.0  # n, total
+    assert by_user[1][3] == 2 and by_user[1][4] == 7.0  # last event wins

@@ -586,7 +586,11 @@ def st11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch publishes state as an immutable new version directory (write,
     then readers switch — the atomic-publish idiom s13/s16 use in batch),
     so a crash mid-batch leaves the previous version intact and the
-    checkpoint replays the batch: effectively-once state.
+    checkpoint replays the batch: effectively-once state. The merge lives
+    in streaming/upsert.py and reads only versions STRICTLY OLDER than the
+    replaying batch, so a replay recomputes identical output instead of
+    double-counting into its own partial publish (replay-idempotence test
+    in tests/test_streaming.py).
 
     The stream is REAL (two staged files, maxFilesPerTrigger=1 forces the
     merge to run across >= 2 micro-batches under Trigger.AvailableNow);
@@ -627,54 +631,9 @@ def st11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(src)
 
-    def upsert(batch_df, batch_id: int) -> None:
-        b = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
-            F.max("event_id").alias("last_event_id"),
-            F.max_by("value", "event_id").alias("last_value"),
-        )
-        versions = sorted(
-            d for d in os.listdir(state_root) if d.startswith("v")
-        )
-        if versions:
-            s = batch_df.sparkSession.read.parquet(
-                os.path.join(state_root, versions[-1])
-            )
-            joined = s.alias("s").join(
-                b.alias("b"), "user_id", "full_outer"
-            )
-            merged = joined.select(
-                "user_id",
-                (
-                    F.coalesce(F.col("s.n"), F.lit(0))
-                    + F.coalesce(F.col("b.n"), F.lit(0))
-                ).alias("n"),
-                (
-                    F.coalesce(
-                        F.col("s.total_dec"), F.lit(0).cast("decimal(18,6)")
-                    )
-                    + F.coalesce(
-                        F.col("b.total_dec"), F.lit(0).cast("decimal(18,6)")
-                    )
-                ).alias("total_dec"),
-                F.greatest(
-                    F.coalesce(F.col("s.last_event_id"), F.lit(-1)),
-                    F.coalesce(F.col("b.last_event_id"), F.lit(-1)),
-                ).alias("last_event_id"),
-                F.when(
-                    F.coalesce(F.col("b.last_event_id"), F.lit(-1))
-                    > F.coalesce(F.col("s.last_event_id"), F.lit(-1)),
-                    F.col("b.last_value"),
-                )
-                .otherwise(F.col("s.last_value"))
-                .alias("last_value"),
-            )
-        else:
-            merged = b
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(state_root, f"v{batch_id:05d}")
-        )
+    from ..streaming.upsert import keyed_upsert_batch, latest_state
+
+    upsert = keyed_upsert_batch(state_root)
 
     stream = (
         spark.readStream.schema("event_id bigint, user_id bigint, value double")
@@ -691,9 +650,8 @@ def st11_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("structured stream did not drain within 300 s")
 
-    final = sorted(d for d in os.listdir(state_root) if d.startswith("v"))[-1]
     return (
-        spark.read.parquet(os.path.join(state_root, final))
+        latest_state(spark, state_root)
         .select(
             "user_id",
             "n",
