@@ -107,11 +107,17 @@ def test_auto_decode_probe_and_fallback(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", _Image)
 
-    assert probe_codec() == "pillow"
-    # decodable bytes -> real codec result
-    assert auto_decode(b"REAL_IMAGE") == (7, 3, round(51 / 255.0, 10))
-    # non-image bytes -> deterministic fallback, same as codec-less env
-    assert auto_decode(payload) == fake_decode(payload)
+    from trafficanalysisbigdata_spark.operators import multimodal as _mm
+
+    _mm._CODEC_PROBE.clear()  # re-probe against the stubbed PIL
+    try:
+        assert probe_codec() == "pillow"
+        # decodable bytes -> real codec result
+        assert auto_decode(b"REAL_IMAGE") == (7, 3, round(51 / 255.0, 10))
+        # non-image bytes -> deterministic fallback, same as codec-less env
+        assert auto_decode(payload) == fake_decode(payload)
+    finally:
+        _mm._CODEC_PROBE.clear()  # don't leak the stubbed probe result
 
 
 def test_sample_frames_ragged_tail(spark):

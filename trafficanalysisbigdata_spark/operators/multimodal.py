@@ -126,16 +126,24 @@ def pillow_decode(content: bytes) -> tuple[int, int, float]:
     return img.width, img.height, (sum(px) / len(px) / 255.0) if px else 0.0
 
 
+_CODEC_PROBE: list[str] = []  # memo: failed imports are NOT cached by Python,
+# so probing per row in a codec-less environment would rescan sys.path for
+# every decoded asset; one probe per interpreter (driver + each worker)
+
+
 def probe_codec() -> str:
     """Probe-and-fallback, the ml/models.py xgboost pattern: 'pillow' when
-    PIL imports (a sys.modules hit after the first call — cheap per row),
-    'fake' in codec-less environments."""
-    try:
-        import PIL  # noqa: F401
+    PIL imports, 'fake' in codec-less environments. Memoized per
+    interpreter (tests monkeypatching sys.modules['PIL'] can clear
+    ``_CODEC_PROBE`` to re-probe)."""
+    if not _CODEC_PROBE:
+        try:
+            import PIL  # noqa: F401
 
-        return "pillow"
-    except ImportError:
-        return "fake"
+            _CODEC_PROBE.append("pillow")
+        except ImportError:
+            _CODEC_PROBE.append("fake")
+    return _CODEC_PROBE[0]
 
 
 def auto_decode(content: bytes) -> tuple[int, int, float]:
