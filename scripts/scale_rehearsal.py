@@ -495,6 +495,40 @@ def run_joins_family(spark) -> None:
             F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
         )
 
+    def bloom_join(on: bool):
+        """j9's runtime-filter claim measured: a selective orders filter
+        joined against the 10x lineitem as SMJ, bloom injection on vs off —
+        the delta is map-side fact rows that never reach the shuffle."""
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "true" if on else "false",
+        )
+        s2.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        s2.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        l = s2.read.parquet(li10)
+        o = s2.read.parquet(or10).filter(F.col("o_totalprice") > 450000)
+        # wide measures so the fact side shuffles real payload (a count-only
+        # agg prunes lineitem to its 8-byte key and nothing can win)
+        return (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_extendedprice").alias("s1"),
+                F.sum("l_quantity").alias("s2"),
+                F.sum("l_tax").alias("s3"),
+                F.sum("l_discount").alias("s4"),
+            )
+        )
+
     cases = {
         "j1_star_1x": lambda: star_join(li, orders),
         "j1_star_10x": lambda: star_join(
@@ -502,6 +536,8 @@ def run_joins_family(spark) -> None:
         ),
         "a1_agg_1x": lambda: agg(events),
         "a1_agg_10x": lambda: agg(spark.read.parquet(ev10)),
+        "j9_smj_10x_bloom_off": lambda: bloom_join(False),
+        "j9_smj_10x_bloom_on": lambda: bloom_join(True),
     }
     results = {}
     for name, fn in cases.items():
