@@ -317,7 +317,14 @@ def j9_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs on a conf-CLONED session (spark.newSession(): same SparkContext,
     isolated SQLConf) so the lowered bloom thresholds that force injection
     at fixture scale never leak into other queries' plans. Plan-guarded:
-    tests/test_plans.py asserts might_contain on the lineitem side."""
+    tests/test_plans.py asserts might_contain on the lineitem side.
+
+    Calibration (BENCH_LOCAL.md): measured on/off at 10x facts on
+    local[32], the filter costs MORE than it saves (1.84s vs 1.20s) —
+    single-node shuffles run at memory speed, so the win this feature
+    exists for (not shipping unjoinable rows across a NETWORK, or into a
+    spill) does not manifest locally. The guard proves the mechanism; the
+    claim is scoped to where shuffle bytes are expensive."""
     from ..io import load_table
     from ..session import prep
 
