@@ -488,3 +488,88 @@ def test_keyed_upsert_replay_is_idempotent(spark, tmp_path):
     by_user = {r[0]: r for r in got}
     assert by_user[1][1] == 2 and float(by_user[1][2]) == 17.0  # n, total
     assert by_user[1][3] == 2 and by_user[1][4] == 7.0  # last event wins
+
+
+def test_keyed_upsert_compaction_keeps_replay_idempotent(spark, tmp_path):
+    """Version retention (keep last K) bounds state storage over a long
+    stream; K >= 2 must preserve the replay contract because the replayed
+    batch reads the SECOND-newest version, which retention always keeps.
+    This drives 5 batches through keep_versions=2, asserts only 2 version
+    dirs survive, then crash-replays the final batch across the compaction
+    boundary and asserts the state is unchanged."""
+    import os
+
+    from trafficanalysisbigdata_spark.streaming.upsert import (
+        keyed_upsert_batch,
+        latest_state,
+    )
+
+    state_root = str(tmp_path / "state")
+    os.makedirs(state_root)
+    upsert = keyed_upsert_batch(state_root, keep_versions=2)
+
+    batches = [
+        spark.createDataFrame(
+            [(10 * b + i, i % 3, float(b + i)) for i in range(4)],
+            "event_id long, user_id long, value double",
+        )
+        for b in range(5)
+    ]
+    for b, df in enumerate(batches):
+        upsert(df, b)
+    dirs = sorted(d for d in os.listdir(state_root) if d.startswith("v"))
+    assert dirs == ["v00003", "v00004"], dirs
+    want = sorted(map(tuple, latest_state(spark, state_root).collect()))
+
+    # crash-replay of the newest batch: its merge input (v00003) survived
+    # compaction by the K >= 2 invariant
+    upsert(batches[4], 4)
+    got = sorted(map(tuple, latest_state(spark, state_root).collect()))
+    assert got == want
+    # totals really span all 5 batches, not just the retained versions
+    n_total = sum(r[1] for r in got)
+    assert n_total == 20  # 5 batches x 4 events
+
+    # K < 2 cannot survive replay and must be rejected up front
+    import pytest
+
+    with pytest.raises(ValueError):
+        keyed_upsert_batch(state_root, keep_versions=1)
+
+
+def test_latest_state_empty_and_partial_versions(spark, tmp_path):
+    """latest_state is total: a stream that drained zero batches yields an
+    EMPTY typed frame (not IndexError), and a partial version directory left
+    by a crash between publish and checkpoint commit (no _SUCCESS marker) is
+    invisible — the newest COMPLETE version is read instead."""
+    import os
+
+    from trafficanalysisbigdata_spark.streaming.upsert import (
+        STATE_SCHEMA,
+        keyed_upsert_batch,
+        latest_state,
+    )
+
+    # zero batches: missing root and empty root both yield the typed empty
+    empty = latest_state(spark, str(tmp_path / "nowhere"))
+    assert empty.count() == 0
+    assert empty.schema == spark.createDataFrame([], STATE_SCHEMA).schema
+
+    state_root = str(tmp_path / "state")
+    os.makedirs(state_root)
+    assert latest_state(spark, state_root).count() == 0
+
+    upsert = keyed_upsert_batch(state_root)
+    upsert(
+        spark.createDataFrame(
+            [(1, 7, 2.0)], "event_id long, user_id long, value double"
+        ),
+        0,
+    )
+    # simulate a crash mid-publish: newer version dir without _SUCCESS
+    partial = os.path.join(state_root, "v00001")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    rows = latest_state(spark, state_root).collect()
+    assert [r.user_id for r in rows] == [7]

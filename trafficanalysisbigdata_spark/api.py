@@ -9,7 +9,7 @@ distribution. Nothing here adds logic — every method delegates to the
 operator modules the registry queries also use, so the facade is covered by
 the same driver-oracle trail.
 
-    ta = TrafficAnalytics.from_json(spark, "s3://bucket/traffic/*.json")
+    ta = TrafficAnalytics.from_json(spark, "data/traffic/*.json")
     ta.borough_totals().show()          # ref TrafficAnalysis.py analysis 1
     ta.hourly_totals().show()           # ref analysis 5
     ta.abnormal_days().show()           # ref μ±3σ flag

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import importlib
 import re
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -158,7 +159,9 @@ def _green_history() -> dict[str, int]:
 
     root = Path(__file__).resolve().parents[2]
     green: dict[str, int] = {}
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+    paths = sorted(root.glob("CORRECTNESS_r*.json"))
+    parsed = 0
+    for path in paths:
         m = re.search(r"r(\d+)", path.name)
         if not m:
             continue
@@ -166,7 +169,13 @@ def _green_history() -> dict[str, int]:
         try:
             data = json.loads(path.read_text())
         except (OSError, ValueError):
+            warnings.warn(
+                f"driver_window: unreadable history file {path.name}; "
+                "its greens will be treated as never-sampled",
+                stacklevel=2,
+            )
             continue
+        parsed += 1
         for name, row in data.items():
             if (
                 isinstance(row, dict)
@@ -175,6 +184,18 @@ def _green_history() -> dict[str, int]:
                 and not row.get("err")
             ):
                 green[name] = max(green.get(name, 0), rnd)
+    if not parsed:
+        # An installed package / stripped checkout has no history files: the
+        # window silently degrading to first-50 registration order would
+        # starve least-recently-green rotation, so say so out loud. The
+        # derivation itself stays total (tier-0 everything) on purpose —
+        # a missing history must never make queries() unloadable.
+        warnings.warn(
+            "driver_window: no CORRECTNESS_r*.json history found at "
+            f"{root} — window falls back to first-{_WINDOW_SIZE} "
+            "registration order",
+            stacklevel=2,
+        )
     return green
 
 

@@ -22,12 +22,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def keyed_upsert_batch(state_root: str) -> Callable[[DataFrame, int], None]:
+def _complete_versions(state_root: str, below: int | None = None) -> list[str]:
+    """Version directories that finished committing (``_SUCCESS`` present),
+    sorted ascending; a crash between publish and checkpoint commit leaves a
+    marker-less partial directory that must be invisible to readers."""
+    try:
+        names = sorted(d for d in os.listdir(state_root) if d.startswith("v"))
+    except FileNotFoundError:
+        return []
+    return [
+        d
+        for d in names
+        if (below is None or int(d[1:]) < below)
+        and os.path.exists(os.path.join(state_root, d, "_SUCCESS"))
+    ]
+
+
+def keyed_upsert_batch(
+    state_root: str, keep_versions: int | None = 3
+) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch writer: counter columns accumulate, the
     latest-attribute columns resolve by event recency (max event_id) — the
     CDC materialization contract. The merge is a full-outer join on the key
     of two one-row-per-key frames, so each batch's cost is bounded by its
-    own key set plus the state width, never the stream's history."""
+    own key set plus the state width, never the stream's history.
+
+    ``keep_versions`` bounds storage: after each publish, all but the newest
+    K complete versions are retired. One full state copy per batch is the
+    price of immutable-version snapshot isolation (what Delta/Iceberg pay
+    too), but UNBOUNDED retention is not — over a long-running stream the
+    state root would grow linearly in batches. K >= 2 preserves replay
+    idempotence: Structured Streaming only ever replays the newest
+    batch (the one whose checkpoint commit was lost), and that replay reads
+    the newest complete version STRICTLY OLDER than itself — i.e. the
+    second-newest overall, which retention always keeps. ``None`` disables
+    compaction (keep everything, e.g. for time travel)."""
+    if keep_versions is not None and keep_versions < 2:
+        raise ValueError("keep_versions must be >= 2 to survive batch replay")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.groupBy("user_id").agg(
@@ -36,11 +67,7 @@ def keyed_upsert_batch(state_root: str) -> Callable[[DataFrame, int], None]:
             F.max("event_id").alias("last_event_id"),
             F.max_by("value", "event_id").alias("last_value"),
         )
-        versions = sorted(
-            d
-            for d in os.listdir(state_root)
-            if d.startswith("v") and int(d[1:]) < batch_id
-        )
+        versions = _complete_versions(state_root, below=batch_id)
         if versions:
             s = batch_df.sparkSession.read.parquet(
                 os.path.join(state_root, versions[-1])
@@ -73,11 +100,38 @@ def keyed_upsert_batch(state_root: str) -> Callable[[DataFrame, int], None]:
         merged.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(state_root, f"v{batch_id:05d}")
         )
+        if keep_versions is not None:
+            import shutil
+
+            for stale in _complete_versions(state_root)[:-keep_versions]:
+                shutil.rmtree(os.path.join(state_root, stale), ignore_errors=True)
 
     return upsert
 
 
+#: Schema of the published state versions — used to type the empty frame a
+#: drained-zero-batches stream yields, so consumers see the same columns
+#: whether or not any batch ever committed.
+STATE_SCHEMA = (
+    "user_id bigint, n bigint, total_dec decimal(18,6), "
+    "last_event_id bigint, last_value double"
+)
+
+
 def latest_state(spark, state_root: str) -> DataFrame:
-    """Read the most recently published version."""
-    final = sorted(d for d in os.listdir(state_root) if d.startswith("v"))[-1]
-    return spark.read.parquet(os.path.join(state_root, final))
+    """Read the most recently published COMPLETE version.
+
+    Two failure shapes are first-class states, not stack traces:
+
+    - the stream drained zero batches (no ``v*`` directory at all) — return
+      an EMPTY frame with the state schema so downstream unions/joins work;
+    - a crash between publish and checkpoint commit left a partial version
+      directory (no ``_SUCCESS`` marker from the Hadoop committer) — skip it
+      and read the newest version that finished committing. The replayed
+      batch will overwrite the partial directory on restart, so skipping is
+      exactly the snapshot-isolation read.
+    """
+    complete = _complete_versions(state_root)
+    if not complete:
+        return spark.createDataFrame([], STATE_SCHEMA)
+    return spark.read.parquet(os.path.join(state_root, complete[-1]))
