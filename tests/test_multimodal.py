@@ -153,3 +153,48 @@ def test_audio_window_energy_math(spark):
         ).collect()
     )
     assert rows == [(1, 0, 25 * 122, 0), (1, 1, 5 * 122, 1)]
+
+
+def test_mm10_energy_is_octet_based_on_both_engines(spark):
+    """Frames are BYTE slices (sample_frames chunks the utf-8 encoding), so
+    frame energy must be a byte sum on both engines: a multi-byte character
+    split across a frame boundary would make any char-based sum (cast frame
+    to string, unicode()/ascii() per char) diverge or hit invalid utf-8.
+    Runs mm10's Spark plan and its DuckDB oracle over documents containing
+    2- and 3-byte characters positioned to straddle 32-byte boundaries."""
+    import duckdb
+    import pandas as pd
+
+    from trafficanalysisbigdata_spark.plans.queries_multimodal import (
+        mm10_scene_changes,
+    )
+    from trafficanalysisbigdata_spark.plans.registry import load_all
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [2, 5, 8, 11],
+            "text": [
+                "héllo wörld " * 12,       # 2-byte chars, many boundaries
+                "世界 data 漢字 " * 10,      # 3-byte chars
+                "plain ascii only " * 9,   # control: ascii
+                "x" * 31 + "é" + "y" * 40, # é split across frame 0/1 boundary
+            ],
+        }
+    )
+    docs["lang"] = "xx"
+    docs["source"] = "unit"
+    docs["n_chars"] = docs["text"].str.len()
+
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    try:
+        sdf = mm10_scene_changes(spark, "")
+        got = {tuple(r) for r in sdf.collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = load_all()["mm10_scene_changes"].oracle
+    want = {tuple(r) for r in con.execute(oracle).fetchall()}
+    assert got == want
+    assert len(got) >= 1  # doc_id % 3 == 2 rows survive the vids filter

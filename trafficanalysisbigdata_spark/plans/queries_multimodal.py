@@ -419,15 +419,19 @@ def mm9_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vids AS (
       SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
     ), frames AS (
-      SELECT media_id, i.i AS frame_idx, substr(text, i.i * 32 + 1, 32) AS frame
+      -- octet-based: frame i covers BYTES [i*32, i*32+32) of the utf-8
+      -- encoding, sliced as 2-hex-char chunks so the oracle agrees with
+      -- Spark's binary chunking even for multi-byte characters
+      SELECT media_id, i.i AS frame_idx,
+             substr(hex(encode(text)), i.i * 64 + 1, 64) AS hx
       FROM vids, (SELECT UNNEST(range(0, 64)) AS i) i
-      WHERE i.i * 32 < strlen(text)
+      WHERE i.i * 32 < octet_length(encode(text))
     ), energy AS (
       SELECT media_id, frame_idx,
-             SUM(unicode(substr(frame, j.j, 1))) AS energy
-      FROM frames, (SELECT UNNEST(range(1, 33)) AS j) j
-      WHERE j.j <= strlen(frame)
-      GROUP BY 1, 2
+             CAST(list_sum(list_transform(range(0, strlen(hx) // 2),
+                  j -> ('0x' || substr(hx, j * 2 + 1, 2))::BIGINT)) AS BIGINT)
+               AS energy
+      FROM frames
     ), delta AS (
       SELECT media_id, energy,
              LAG(energy) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
@@ -462,15 +466,18 @@ def mm10_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sample_frames
 
     frames = sample_frames(synthesize_media(spark.table("documents")), frame_bytes=32)
-    chars = frames.select(
+    # Byte sum of the binary frame, no decode: one hex() per frame, then a
+    # JVM-side fold over 2-hex-char chunks. Octet-based on BOTH engines —
+    # a char-based sum would desync from the byte-sliced frames the moment
+    # a multi-byte character lands on a frame boundary.
+    energy = frames.select(
         "media_id",
         "frame_idx",
-        F.posexplode(
-            F.array_remove(F.split(F.col("frame").cast("string"), ""), "")
-        ).alias("pos", "ch"),
-    )
-    energy = chars.groupBy("media_id", "frame_idx").agg(
-        F.sum(F.ascii("ch")).alias("energy")
+        F.expr(
+            "aggregate(sequence(0, octet_length(frame) - 1), 0L,"
+            " (acc, i) -> acc +"
+            " cast(conv(substring(hex(frame), i * 2 + 1, 2), 16, 10) as bigint))"
+        ).alias("energy"),
     )
     w = Window.partitionBy("media_id").orderBy("frame_idx")
     delta = energy.withColumn("prev", F.lag("energy").over(w))
