@@ -294,3 +294,26 @@ def test_two_stage_rerank_recall_dominates_quantized(spark, sf_dir):
     r_rerank = len(exact & rerank) / len(exact)
     assert r_rerank >= r_quant, (r_rerank, r_quant)
     assert r_rerank >= 0.95, f"rerank recall too low: {r_rerank}"
+
+
+def test_fixture_corpora_derive_oracle_band_layout():
+    """The registered LSH queries pin n_planes=4 to mirror their static
+    oracles; the adaptive rule must agree on every committed fixture so the
+    pin and the production default cannot drift apart — a fixture crossing
+    the 4096-vector floor would flip adaptive callers to P>=5 and is the
+    signal to regenerate the oracle CTEs alongside."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from trafficanalysisbigdata_spark.operators.similarity import adaptive_n_planes
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        n = pq.read_metadata(path).num_rows
+        assert adaptive_n_planes(n) == 4, (sf, n)
+        checked += 1
+    assert checked, "no fixture dirs found"

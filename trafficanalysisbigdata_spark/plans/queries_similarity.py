@@ -159,13 +159,18 @@ def sim4_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine ≥ 0.3. Linear-ish in corpus size per bucket family —
     replaces sim2's O(n²) cross join beyond small n.
 
-    n_planes is the in-code adaptive rule (operators/similarity.
-    adaptive_n_planes): the static oracle above mirrors P=4, which the rule
-    derives for every corpus under 4096 vectors — all driver SFs (500 at
-    sf0.01, 2000 at sf0.1); the 10× scale rehearsal, where the rule reaches
-    P=8, measures the same operator without an explicit override."""
+    n_planes is PINNED to the oracle's band layout (P=4) here: the static
+    SQL above hard-codes 4-plane signatures, and letting the adaptive rule
+    (operators/similarity.adaptive_n_planes) pick P at runtime would
+    silently flip the shipped plan to P>=5 — and break parity — the moment
+    a fixture exceeds the rule's 4096-vector floor. The adaptive default
+    stays for rehearsal/production callers; the 10× scale rehearsal, where
+    the rule reaches P=8, measures the same operator without an override.
+    tests/test_similarity.py additionally asserts every fixture corpus
+    still derives P=4, so the pin and the rule cannot drift apart
+    unnoticed."""
     return lsh_neardup_pairs(
-        spark.table("embeddings"), threshold=0.3, n_tables=_L, dim=_DIM
+        spark.table("embeddings"), threshold=0.3, n_tables=_L, n_planes=_P, dim=_DIM
     )
 
 
