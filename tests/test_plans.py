@@ -252,3 +252,13 @@ def test_sql11_not_exists_becomes_anti_join(spark, sf_dir):
     customer table twice."""
     plan = _plan(spark, sf_dir, "sql11_dormant_rich_customers")
     assert "LeftAnti" in plan
+
+
+def test_olap9_bucket_is_data_derived_not_physical(spark, sf_dir):
+    """olap9 feeds `local` into two plan branches (ledger + join-back);
+    correctness requires both to agree on the bucket key, so it must be a
+    pure function of the DATA (value vs literal bounds), never the physical
+    placement — Spark documents spark_partition_id() as nondeterministic,
+    and a recomputed exchange could mis-align the two branches."""
+    plan = _plan(spark, sf_dir, "olap9_pareto_abc")
+    assert "spark_partition_id" not in plan.lower()

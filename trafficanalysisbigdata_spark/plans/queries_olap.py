@@ -669,33 +669,61 @@ def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the per-part rollup is a partial/final agg; the
     cumulative ranking runs as a TWO-PHASE DISTRIBUTED PREFIX-SUM — no
-    unpartitioned window anywhere: range-partition the catalog by
-    (revenue desc, partkey), per-partition ordered cumsums in parallel
-    (window partitioned by the captured range-partition id), then add each
-    partition's prefix offset from a partition-totals ledger that is only
-    num-partitions rows. A billion-part catalog costs one range exchange
-    plus a broadcast of ~hundreds of ledger rows. Plan-guarded: every
-    Window in this plan carries a partition spec (tests/test_plans.py)."""
+    unpartitioned window anywhere: split the catalog into revenue-range
+    buckets, per-bucket ordered cumsums in parallel (window partitioned by
+    bucket), then add each bucket's prefix offset from a bucket-totals
+    ledger that is only num-buckets rows. A billion-part catalog costs one
+    hash exchange on the bucket plus a broadcast of ~hundreds of ledger
+    rows. Plan-guarded: every Window in this plan carries a partition spec
+    (tests/test_plans.py).
+
+    Determinism: the bucket is DERIVED FROM THE DATA, never from physical
+    placement. An earlier cut keyed the ledger join on
+    F.spark_partition_id() after repartitionByRange — Spark documents that
+    id as nondeterministic, and `local` feeds two plan branches, so a
+    recomputed exchange (reuse disabled, task retry re-sampling the range
+    bounds, future AQE behavior) could assign different pids to the two
+    evaluations and silently mis-align offsets. Instead the range bounds
+    are computed ONCE (the explicit form of RangePartitioner's driver-side
+    bounds sampling — one 1-row action over the already-reduced catalog)
+    and embedded as literals; every branch then assigns buckets by VALUE
+    against the same constants, so misalignment is impossible by
+    construction. The bounds need not even be balanced for correctness —
+    only for parallelism — because all rows with equal revenue land in one
+    bucket and the per-bucket window breaks ties by part key."""
+    from functools import reduce
+
     from pyspark.sql.window import Window
 
+    n_buckets = 8
     g = (
         spark.table("lineitem")
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev_dec"))
     )
-    # Phase 1: range-partition on the total order (desc revenue, asc key) and
-    # capture the range-partition id; each partition cumsums independently.
-    ranged = g.repartitionByRange(
-        8, F.desc("rev_dec"), F.asc("l_partkey")
-    ).withColumn("pid", F.spark_partition_id())
+    # Phase 0: range bounds as literals (1-row driver action, ~RangePartitioner).
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = g.select(
+        F.percentile_approx(F.col("rev_dec").cast("double"), fracs, 10000).alias("c")
+    ).first()["c"]
+    # Phase 1: value-derived bucket — number of bounds strictly above this
+    # revenue, so bucket 0 holds the largest revenues (desc total order) and
+    # equal revenues always share a bucket; per-bucket cumsums in parallel.
+    rd = F.col("rev_dec").cast("double")
+    bucket = reduce(
+        lambda acc, c: acc + F.when(rd < F.lit(c), 1).otherwise(0),
+        cuts,
+        F.lit(0),
+    )
+    ranged = g.withColumn("pid", bucket)
     w_local = (
         Window.partitionBy("pid")
         .orderBy(F.desc("rev_dec"), F.asc("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = ranged.withColumn("local_cum", F.sum("rev_dec").over(w_local))
-    # Phase 2: partition-totals ledger (num-partitions rows); running prefix
-    # offset per pid plus the grand total, broadcast back onto the catalog.
+    # Phase 2: bucket-totals ledger (num-buckets rows); running prefix
+    # offset per bucket plus the grand total, broadcast back onto the catalog.
     ptot = local.groupBy("pid").agg(F.sum("rev_dec").alias("p_sum"))
     w_off = (
         Window.partitionBy(F.lit(0))
