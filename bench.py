@@ -142,6 +142,13 @@ BENCH_QUERIES = [
     "sql14_top_revenue_supplier",
     "mm10_scene_changes",
     # st11 excluded like st7/st9: real-stream startup dominates wall time
+    # round-8 additions: the oracle-checked ML stages (label derivations +
+    # split contract; mlx5/mlx6 excluded — their first pass pays a model
+    # fit, which would measure MLlib training, not engine throughput)
+    "mlx1_volume_label_stage",
+    "mlx2_peak_label_stage",
+    "mlx3_abnormal_label_stage",
+    "mlx4_quality_split_contract",
 ]
 
 

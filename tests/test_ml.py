@@ -230,3 +230,26 @@ def test_model_persistence_roundtrip(spark, sf_dir, tmp_path):
     a = model.transform(df).select("prediction").collect()
     b = reloaded.transform(df).select("prediction").collect()
     assert [x.prediction for x in a] == [x.prediction for x in b]
+
+
+def test_mlx6_decimal_mse_agrees_with_evaluator(spark, sf_dir):
+    """mlx6 reports MSE recomputed from DECIMAL(18,6)-cast predictions (so
+    the sum is exact/order-independent and oracle-checkable); it must agree
+    with RegressionEvaluator's double-precision MSE on the same predictions
+    to well inside the 1e-6 quantization the cast introduces."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.io import register_views
+    from trafficanalysisbigdata_spark.ml.models import rf_regression
+    from trafficanalysisbigdata_spark.session import prep
+
+    prep(spark)
+    register_views(spark, sf_dir, "events")
+    r = rf_regression(spark.table("events"))
+    err = F.col("value").cast("decimal(18,6)") - F.col("prediction").cast(
+        "decimal(18,6)"
+    )
+    row = r["pred"].agg(
+        (F.sum(err * err).cast("double") / F.count(F.lit(1))).alias("mse_dec")
+    ).collect()[0]
+    assert abs(row.mse_dec - r["mse"]) <= 1e-4 * max(1.0, r["mse"])

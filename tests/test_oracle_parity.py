@@ -128,3 +128,33 @@ def test_a14_hll_error_bound(spark, sf_dir):
     assert verdicts and all(
         v.fine_within_3rsd and v.coarse_within_3rsd for v in verdicts
     ), verdicts
+
+
+def test_window_rotation_regreens_every_oracle_query(monkeypatch):
+    """Staleness guard for the derived rotation: simulating the driver
+    forward — each round greens the current 50-slot window, then the window
+    re-derives — every oracle-bearing query must re-green within
+    ceil(n_oracle/50) + 1 rounds, forever. Protects against a future
+    registration-order or ranking change silently starving some query of
+    driver refresh."""
+    import math
+
+    from trafficanalysisbigdata_spark.plans import registry
+
+    specs = load_all()
+    oracle_names = [n for n in specs if specs[n].oracle]
+    bound = math.ceil(len(oracle_names) / 50) + 1
+
+    green: dict[str, int] = dict(registry._green_history())
+    base = max(green.values(), default=0)
+    monkeypatch.setattr(registry, "_green_history", lambda: green)
+
+    for rnd in range(base + 1, base + 1 + 2 * bound):
+        for name in registry.driver_window(specs):
+            green[name] = rnd
+    # after `bound` rounds of any window in the simulation, nothing is stale
+    stalest = min((green.get(n, 0) for n in oracle_names), default=0)
+    assert stalest > base + 2 * bound - bound, (
+        f"some oracle query not re-greened within {bound} rounds: "
+        f"{[n for n in oracle_names if green.get(n, 0) <= base + bound]}"
+    )

@@ -65,7 +65,7 @@ def rf_regression(events: DataFrame) -> dict:
     r2 = RegressionEvaluator(
         labelCol="value", predictionCol="prediction", metricName="r2"
     ).evaluate(pred)
-    return {"model": model, "mse": mse, "r2": r2, "n_test": pred.count()}
+    return {"model": model, "mse": mse, "r2": r2, "n_test": pred.count(), "pred": pred}
 
 
 def rf_feature_importance(events: DataFrame) -> DataFrame:
@@ -117,40 +117,49 @@ def _fit_eval_classifier(df: DataFrame, label_col: str) -> dict:
         .count()
         .orderBy(label_col, "prediction")
     )
-    return {"model": model, "accuracy": acc, "f1": f1, "confusion": confusion}
+    return {
+        "model": model,
+        "accuracy": acc,
+        "f1": f1,
+        "confusion": confusion,
+        "pred": pred,
+    }
 
 
-def volume_class_model(events: DataFrame) -> dict:
-    """M3 (ref TrafficAnalysis.py:352-381): 3-class Low/Medium/High label from
-    the F9 bins, RF classification, accuracy + F1 + confusion matrix."""
-    df = feature_frame(events).withColumn(
+def volume_label_frame(events: DataFrame) -> DataFrame:
+    """M3's exact fit input: feature block + 3-class Low/Medium/High label
+    from the F9 bins. Factored out of the fit so the label-derivation stage
+    is driver-oracle-checkable (mlx1) with the PRODUCTION expression, not a
+    re-implementation. NULL/negative values fall through to class 2 — the
+    otherwise() branch — mirroring the when-chain's semantics exactly."""
+    return feature_frame(events).withColumn(
         "label",
         F.when(traffic_category(F.col("value")) == "Low", 0)
         .when(traffic_category(F.col("value")) == "Medium", 1)
         .otherwise(2)
         .cast("double"),
     )
-    return _fit_eval_classifier(df, "label")
 
 
-def peak_hour_model(events: DataFrame) -> dict:
-    """M4 (ref TrafficAnalysis.py:383-406): binary label value ≥ P75."""
+def peak_label_frame(events: DataFrame) -> DataFrame:
+    """M4's exact fit input: binary label value ≥ P75 (exact interpolated
+    percentile, broadcast back over the scan). Oracle-checked as mlx2."""
     p75 = events.agg(F.percentile("value", F.lit(0.75)).alias("t"))
-    df = (
+    return (
         feature_frame(events)
         .crossJoin(F.broadcast(p75))
         .withColumn("label", (F.col("value") >= F.col("t")).cast("double"))
         .drop("t")
     )
-    return _fit_eval_classifier(df, "label")
 
 
-def abnormal_traffic_model(events: DataFrame) -> dict:
-    """M5 (ref TrafficAnalysis.py:408-433): binary label outside μ±3σ."""
+def abnormal_label_frame(events: DataFrame) -> DataFrame:
+    """M5's exact fit input: binary label outside μ±3σ. Oracle-checked as
+    mlx3."""
     stats = events.agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    df = (
+    return (
         feature_frame(events)
         .crossJoin(F.broadcast(stats))
         .withColumn(
@@ -162,7 +171,22 @@ def abnormal_traffic_model(events: DataFrame) -> dict:
         )
         .drop("mu", "sigma")
     )
-    return _fit_eval_classifier(df, "label")
+
+
+def volume_class_model(events: DataFrame) -> dict:
+    """M3 (ref TrafficAnalysis.py:352-381): 3-class Low/Medium/High label from
+    the F9 bins, RF classification, accuracy + F1 + confusion matrix."""
+    return _fit_eval_classifier(volume_label_frame(events), "label")
+
+
+def peak_hour_model(events: DataFrame) -> dict:
+    """M4 (ref TrafficAnalysis.py:383-406): binary label value ≥ P75."""
+    return _fit_eval_classifier(peak_label_frame(events), "label")
+
+
+def abnormal_traffic_model(events: DataFrame) -> dict:
+    """M5 (ref TrafficAnalysis.py:408-433): binary label outside μ±3σ."""
+    return _fit_eval_classifier(abnormal_label_frame(events), "label")
 
 
 def _boosted_regressor(**kw):
@@ -208,23 +232,14 @@ def gbt_regression(events: DataFrame) -> dict:
     return {"model": model, "mse": mse, "n_test": pred.count()}
 
 
-def quality_filter_model(docs: DataFrame) -> dict:
-    """Model-based corpus quality filtering (M-extension): train a logistic
-    classifier on cheap heuristic labels, use its score as the keep/drop
-    signal — the fastText-style quality pass of an LLM data pipeline (the
-    heuristic bootstraps the label; the model generalizes it to documents
-    the heuristic is unsure about, and its probability is a tunable dial
-    where the heuristic is binary).
-
-    Features are the engine's Catalyst text signals (token count, stopword
-    ratio, lexical diversity); the label marks clearly-good docs (enough
-    tokens AND stopword share in the natural-prose band). Deterministic
-    split via md5-hash, seeded fit. Returns accuracy/f1/confusion vs the
-    heuristic on the held-out split plus the keep rate at p >= 0.5.
-    """
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import VectorAssembler
-
+def quality_label_frame(docs: DataFrame) -> DataFrame:
+    """ml8's exact fit input: Catalyst text signals, the heuristic
+    clearly-good label, and the md5-deterministic split byte ``__u``
+    (first md5 hex byte of the doc id; < 192 → train, a 75/25 split that is
+    reproducible on any engine, partitioning, or row order — unlike
+    randomSplit, whose per-partition seeding ties the assignment to the
+    physical layout). Factored out of the fit so the stage is
+    driver-oracle-checkable (mlx4) with the production expressions."""
     from ..functions.text import (
         EN_STOP,
         lexical_diversity,
@@ -248,7 +263,27 @@ def quality_filter_model(docs: DataFrame) -> dict:
         ).cast("double"),
     )
     is_train = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
-    feats = feats.withColumn("__u", is_train.cast("long"))
+    return feats.withColumn("__u", is_train.cast("long"))
+
+
+def quality_filter_model(docs: DataFrame) -> dict:
+    """Model-based corpus quality filtering (M-extension): train a logistic
+    classifier on cheap heuristic labels, use its score as the keep/drop
+    signal — the fastText-style quality pass of an LLM data pipeline (the
+    heuristic bootstraps the label; the model generalizes it to documents
+    the heuristic is unsure about, and its probability is a tunable dial
+    where the heuristic is binary).
+
+    Features are the engine's Catalyst text signals (token count, stopword
+    ratio, lexical diversity); the label marks clearly-good docs (enough
+    tokens AND stopword share in the natural-prose band). Deterministic
+    split via md5-hash, seeded fit. Returns accuracy/f1/confusion vs the
+    heuristic on the held-out split plus the keep rate at p >= 0.5.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = quality_label_frame(docs)
     train = feats.filter(F.col("__u") < 192)  # 75%
     test = feats.filter(F.col("__u") >= 192)
 

@@ -1,0 +1,335 @@
+"""Deterministic, value-oracle-checked stages of the ML family (mlx*).
+
+The model FITS (ml1–ml9) have no ANSI twin — a RandomForest is not
+SQL-expressible — so they carry rows-only driver checks plus metric-range
+gates in tests/test_ml.py. But every deterministic stage AROUND a fit is
+oracle-expressible, and this module registers them so the ML surface sits
+under the same driver-value-checked regime as the rest of the engine:
+
+* mlx1/mlx2/mlx3 — the LABEL DERIVATIONS that feed M3/M4/M5 (F9 bins,
+  P75 flag, μ±3σ flag over the reference's feature block,
+  ref TrafficAnalysis.py:352-433), computed by the PRODUCTION expressions
+  (ml/models.py ``*_label_frame``), profiled per class.
+* mlx4 — ml8's md5-deterministic split × heuristic-label contract on
+  ``documents``: reproducible on any engine/partitioning/row order, unlike
+  randomSplit (whose per-partition seeding ties assignment to physical
+  layout — the reason the raw splits stay rows-only).
+* mlx5/mlx6 — the sim8 persist pattern applied to models: fit ONCE
+  (seed-pinned, cached on the source stamp), persist the predictions as a
+  parquet artifact, then register the CONSUMING queries — confusion-matrix
+  pivot (M3) and residual metrics (M1) — whose oracles read the SAME
+  artifact. This value-checks the evaluation arithmetic (pivot, MSE/MAE)
+  bit-for-bit while leaving only the raw fit itself range-gated.
+
+Scale posture: mlx1–mlx4 are single partial/final aggregations over one
+scan (the stats/threshold rows broadcast back, never a driver loop);
+mlx5/mlx6 aggregate a persisted prediction table — at 100 TB that table is
+the standard batch-inference output layout, and both queries are one
+partial/final agg over it.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sum_exact
+from ..functions.text import EN_STOP
+from ..ml import models
+from .registry import register
+
+_EN = ", ".join(f"'{w}'" for w in EN_STOP)
+
+# Static artifact root: the oracle SQL must name the path as a literal, so
+# it is interpolated once at import time (same process, same tempdir) rather
+# than stamped per-call like sim8's keyed cache dirs.
+_MLX_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_mlx")
+_CONF_DIR = os.path.join(_MLX_ROOT, "volume_confusion")
+_RESID_DIR = os.path.join(_MLX_ROOT, "rf_residuals")
+
+
+def _source_stamp(sf_dir: str, table: str) -> str:
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        return f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        return f"{sf_dir}|nostat"
+
+
+def _ensure_artifact(out_dir: str, stamp: str, build) -> None:
+    """Fit-once cache: rebuild the prediction artifact only when the source
+    stamp changed or the last write is torn (no _SUCCESS / no stamp). The
+    artifact path is STATIC so the registered oracle can read it; the stamp
+    file makes the cache correct across SFs sharing that path — the Spark
+    side always (re)builds for ITS sf_dir before the oracle runs."""
+    stamp_path = os.path.join(out_dir, "_STAMP")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")) and os.path.exists(
+        stamp_path
+    ):
+        try:
+            with open(stamp_path) as f:
+                if f.read() == stamp:
+                    return
+        except OSError:
+            pass
+    df = build()
+    df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    with open(stamp_path, "w") as f:
+        f.write(stamp)
+
+
+# --- mlx1: M3 volume-class label derivation ---------------------------------
+
+
+@register(
+    "mlx1_volume_label_stage",
+    oracle="""
+    WITH lab AS (
+      SELECT CASE WHEN value IS NOT NULL AND value >= 0 AND value < 50 THEN 0.0
+                  WHEN value IS NOT NULL AND value >= 0 AND value < 200 THEN 1.0
+                  ELSE 2.0 END AS label,
+             event_type, user_id, value
+      FROM events)
+    SELECT label, event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM lab GROUP BY label, event_type ORDER BY label, event_type
+    """,
+    tags=("mlx", "ml", "M3", "labels"),
+    tables=("events",),
+)
+def mlx1_volume_label_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3's label derivation, driver-value-checked: the F9 Low/Medium/High
+    bins (pd.cut right=False semantics, ref TrafficAnalysis.py:352-381) as
+    the 0/1/2 class label on the exact fit-input frame
+    (models.volume_label_frame), profiled per (class, event_type). The
+    when-chain's otherwise() catches NULL/negative values into class 2 —
+    mirrored explicitly in the oracle's CASE."""
+    return (
+        models.volume_label_frame(spark.table("events"))
+        .groupBy("label", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            sum_exact("value", "total"),
+        )
+        .orderBy("label", "event_type")
+    )
+
+
+# --- mlx2: M4 peak-hour label derivation ------------------------------------
+
+
+@register(
+    "mlx2_peak_label_stage",
+    oracle="""
+    WITH s AS (SELECT quantile_cont(value, 0.75) AS t FROM events)
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(CASE WHEN value >= t THEN 1 ELSE 0 END AS DOUBLE) AS label,
+           COUNT(*) AS n
+    FROM events, s
+    GROUP BY hour_of_day, label ORDER BY hour_of_day, label
+    """,
+    tags=("mlx", "ml", "M4", "labels"),
+    tables=("events",),
+)
+def mlx2_peak_label_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4's label derivation, driver-value-checked: value ≥ exact P75
+    (ref TrafficAnalysis.py:383-406) on the fit-input frame
+    (models.peak_label_frame), profiled per (hour, label) — the joint
+    distribution the classifier actually learns from. The threshold is one
+    broadcast row; no driver round-trip."""
+    return (
+        models.peak_label_frame(spark.table("events"))
+        .groupBy("hour_of_day", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hour_of_day", "label")
+    )
+
+
+# --- mlx3: M5 abnormal-traffic label derivation ------------------------------
+
+
+@register(
+    "mlx3_abnormal_label_stage",
+    oracle="""
+    WITH s AS (SELECT AVG(value) AS mu, stddev_samp(value) AS sigma FROM events)
+    SELECT CAST(CASE WHEN value > mu + 3*sigma OR value < mu - 3*sigma
+                     THEN 1 ELSE 0 END AS DOUBLE) AS label,
+           CAST(CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS INT)
+             AS is_weekend,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events, s
+    GROUP BY label, is_weekend ORDER BY label, is_weekend
+    """,
+    tags=("mlx", "ml", "M5", "labels"),
+    tables=("events",),
+)
+def mlx3_abnormal_label_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5's label derivation, driver-value-checked: the μ±3σ abnormal flag
+    (ref TrafficAnalysis.py:408-433) on the fit-input frame
+    (models.abnormal_label_frame), profiled per (label, is_weekend)."""
+    return (
+        models.abnormal_label_frame(spark.table("events"))
+        .groupBy("label", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("label", "is_weekend")
+    )
+
+
+# --- mlx4: ml8 deterministic split × label contract --------------------------
+
+
+@register(
+    "mlx4_quality_split_contract",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             COALESCE(CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ({_EN}))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 0.0) AS stop_ratio,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS u
+      FROM documents
+    ), lab AS (
+      SELECT CASE WHEN u < 192 THEN 'train' ELSE 'test' END AS split,
+             CAST(CASE WHEN n_tokens >= 50 AND stop_ratio >= 0.05
+                        AND stop_ratio <= 0.6 THEN 1 ELSE 0 END AS DOUBLE)
+               AS label,
+             n_tokens, stop_ratio
+      FROM feats)
+    SELECT split, label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+           ROUND(SUM(stop_ratio), 6) AS sum_stop_ratio
+    FROM lab GROUP BY split, label ORDER BY split, label
+    """,
+    tags=("mlx", "ml", "split", "quality"),
+    tables=("documents",),
+)
+def mlx4_quality_split_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml8's split × label contract, driver-value-checked: the
+    md5-deterministic 75/25 assignment (first md5 hex byte < 192) and the
+    heuristic quality label, computed by the production frame
+    (models.quality_label_frame), profiled per (split, label). This is the
+    reproducibility contract a training pipeline leans on — the SAME doc
+    lands in the SAME split on any engine, partitioning, or row order,
+    which randomSplit cannot promise (per-partition seeding)."""
+    frame = models.quality_label_frame(spark.table("documents"))
+    return (
+        frame.select(
+            F.when(F.col("__u") < 192, "train").otherwise("test").alias("split"),
+            "label",
+            "n_tokens",
+            "stop_ratio",
+        )
+        .groupBy("split", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            F.round(F.sum("stop_ratio"), 6).alias("sum_stop_ratio"),
+        )
+        .orderBy("split", "label")
+    )
+
+
+# --- mlx5: persisted-predictions confusion pivot (M3) ------------------------
+
+
+@register(
+    "mlx5_confusion_pivot",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN prediction = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pred_0,
+           CAST(SUM(CASE WHEN prediction = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pred_1,
+           CAST(SUM(CASE WHEN prediction = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pred_2
+    FROM read_parquet('{_CONF_DIR}/*.parquet')
+    GROUP BY label ORDER BY label
+    """,
+    tags=("mlx", "ml", "M3", "confusion", "persisted"),
+    tables=("events",),
+)
+def mlx5_confusion_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The confusion-matrix pivot of M3's predictions, driver-value-checked
+    via the sim8 persist pattern: the seed-pinned model is fit ONCE per
+    source stamp, its held-out predictions persisted as a parquet artifact,
+    and BOTH engines aggregate that same artifact — pinning the evaluation
+    pivot bit-for-bit while the fit itself stays range-gated
+    (tests/test_ml.py). Classes are small-integer doubles, so equality
+    predicates are exact on both engines."""
+    _ensure_artifact(
+        _CONF_DIR,
+        _source_stamp(sf_dir, "events"),
+        lambda: models.volume_class_model(spark.table("events"))["pred"].select(
+            "label", "prediction"
+        ),
+    )
+    pred = spark.read.parquet(_CONF_DIR)
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.when(F.col("prediction") == float(k), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"pred_{k}")
+                for k in (0, 1, 2)
+            ],
+        )
+        .orderBy("label")
+    )
+
+
+# --- mlx6: persisted-predictions residual metrics (M1) -----------------------
+
+
+@register(
+    "mlx6_regression_residuals",
+    oracle=f"""
+    SELECT COUNT(*) AS n_test,
+           ROUND(CAST(SUM((value_dec - pred_dec) * (value_dec - pred_dec))
+                      AS DOUBLE) / COUNT(*), 6) AS mse,
+           ROUND(CAST(SUM(ABS(value_dec - pred_dec)) AS DOUBLE) / COUNT(*), 6)
+             AS mae
+    FROM read_parquet('{_RESID_DIR}/*.parquet')
+    """,
+    tags=("mlx", "ml", "M1", "metrics", "persisted"),
+    tables=("events",),
+)
+def mlx6_regression_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1's regression metrics recomputed from persisted predictions,
+    driver-value-checked: predictions are persisted as DECIMAL(18,6) (so
+    both engines read identical exact values — a raw double column would
+    make the sums order-dependent), and MSE/MAE are decimal-exact sums cast
+    to double at the end. This pins the metric ARITHMETIC the rows-only
+    ml1 entry reports; tests/test_ml.py separately asserts the persisted
+    MSE agrees with RegressionEvaluator's."""
+    _ensure_artifact(
+        _RESID_DIR,
+        _source_stamp(sf_dir, "events"),
+        lambda: models.rf_regression(spark.table("events"))["pred"].select(
+            F.col("value").cast("decimal(18,6)").alias("value_dec"),
+            F.col("prediction").cast("decimal(18,6)").alias("pred_dec"),
+        ),
+    )
+    pred = spark.read.parquet(_RESID_DIR)
+    err = F.col("value_dec") - F.col("pred_dec")
+    n = F.count(F.lit(1))
+    return pred.agg(
+        n.alias("n_test"),
+        F.round(F.sum(err * err).cast("double") / n, 6).alias("mse"),
+        F.round(F.sum(F.abs(err)).cast("double") / n, 6).alias("mae"),
+    )

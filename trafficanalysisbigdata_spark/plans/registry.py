@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "queries_similarity",
     "queries_streaming",
     "queries_ml",
+    "queries_mlx",
 )
 
 
