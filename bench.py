@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "mlx2_peak_label_stage",
     "mlx3_abnormal_label_stage",
     "mlx4_quality_split_contract",
+    "mm11_png_codec_features",
 ]
 
 

@@ -198,3 +198,149 @@ def test_mm10_energy_is_octet_based_on_both_engines(spark):
     want = {tuple(r) for r in con.execute(oracle).fetchall()}
     assert got == want
     assert len(got) >= 1  # doc_id % 3 == 2 rows survive the vids filter
+
+
+def _build_png(rows, ctype, filters, plte=b""):
+    """Test-side PNG builder: applies the FORWARD filter per scanline (the
+    inverse of the decoder's unfilter) so every filter type 0-4 gets an
+    adversarial real stream, then assembles chunks."""
+    import struct
+    import zlib
+
+    from trafficanalysisbigdata_spark.operators.multimodal import (
+        PNG_SIG,
+        _PNG_CHANNELS,
+    )
+
+    ch = _PNG_CHANNELS[ctype]
+    width = len(rows[0]) // ch
+    height = len(rows)
+    stride = width * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(rows):
+        f = filters[y]
+        raw.append(f)
+        out = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                out[i] = (out[i] - line[i - ch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                out[i] = (out[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                out[i] = (out[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (out[i] - pred) & 0xFF
+        raw.extend(out)
+        prev = bytes(line)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if plte:
+        body += chunk(b"PLTE", plte)
+    body += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return PNG_SIG + body
+
+
+def test_png_roundtrip_gray():
+    from trafficanalysisbigdata_spark.operators.multimodal import (
+        encode_png_gray,
+        png_decode,
+    )
+
+    px = bytes(range(48))  # 8x6 gradient
+    w, h, luma = png_decode(encode_png_gray(px, 8, 6))
+    assert (w, h) == (8, 6)
+    assert abs(luma - sum(px) / 48 / 255.0) < 1e-12
+
+
+def test_png_all_filters_agree():
+    """The same pixel matrix encoded with every scanline filter must decode
+    identically — this is the unfilter logic under adversarial streams."""
+    from trafficanalysisbigdata_spark.operators.multimodal import png_decode
+
+    rows = [bytes((x * 37 + y * 11) % 256 for x in range(10)) for y in range(5)]
+    want = png_decode(_build_png(rows, 0, [0] * 5))
+    for f in (1, 2, 3, 4):
+        assert png_decode(_build_png(rows, 0, [f] * 5)) == want
+    mixed = png_decode(_build_png(rows, 0, [0, 1, 2, 3, 4]))
+    assert mixed == want
+
+
+def test_png_color_types_use_pil_luma():
+    from trafficanalysisbigdata_spark.operators.multimodal import (
+        _l601,
+        png_decode,
+    )
+
+    # 2x1 RGB: red and white
+    rgb = [bytes([255, 0, 0, 255, 255, 255])]
+    w, h, luma = png_decode(_build_png(rgb, 2, [4]))
+    want = (_l601(255, 0, 0) + _l601(255, 255, 255)) / 2 / 255.0
+    assert (w, h) == (2, 1) and abs(luma - want) < 1e-12
+    # RGBA: alpha ignored (PIL convert("L") semantics)
+    rgba = [bytes([255, 0, 0, 7, 255, 255, 255, 9])]
+    assert png_decode(_build_png(rgba, 6, [2]))[2] == luma
+    # palette: two entries, both pixels -> entry 1
+    plte = bytes([0, 0, 0, 10, 200, 30])
+    pal = [bytes([1, 1])]
+    _, _, pl = png_decode(_build_png(pal, 3, [1], plte=plte))
+    assert abs(pl - _l601(10, 200, 30) / 255.0) < 1e-12
+    # gray+alpha: luma is the gray channel
+    ga = [bytes([100, 3, 200, 5])]
+    assert abs(png_decode(_build_png(ga, 4, [3]))[2] - 150 / 255.0) < 1e-12
+
+
+def test_auto_decode_tiers():
+    """PNG-signature bytes take the REAL stdlib decoder; non-PNG bytes take
+    the deterministic fake tier; unsupported PNGs (Adam7) fall through to
+    fake instead of raising."""
+    import struct
+    import zlib
+
+    from trafficanalysisbigdata_spark.operators.multimodal import (
+        PNG_SIG,
+        auto_decode,
+        encode_png_gray,
+        fake_decode,
+        png_decode,
+    )
+
+    png = encode_png_gray(bytes(range(12)), 4, 3)
+    assert auto_decode(png) == png_decode(png)
+    blob = b"just some text bytes"
+    assert auto_decode(blob) == fake_decode(blob)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    interlaced = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
+        + chunk(b"IEND", b"")
+    )
+    assert auto_decode(interlaced) == fake_decode(interlaced)

@@ -8,15 +8,20 @@ shuffle per groupBy); only actual DECODING crosses into Python, as an
 Arrow-batched ``mapInPandas`` whose schema/batch plumbing is real and
 tested even where the codec itself is stubbed.
 
-Decoder tiers:
+Decoder tiers (``auto_decode`` dispatches in this order):
 
+* ``pillow_decode`` — the production tier: decodes real images via PIL
+  when the package is installed; raises NotImplementedError at call time
+  otherwise (import of this module never fails).
+* ``png_decode`` — a REAL, pure-stdlib PNG decoder (zlib inflate +
+  per-scanline unfilter, public file-format knowledge): engages whenever
+  the bytes carry the PNG signature, so actual image decoding is
+  executable and oracle-checkable even in codec-less environments
+  (mm11 runs real PNG streams through it end to end).
 * ``fake_decode`` — deterministic byte arithmetic (dims from the first two
   content bytes, a luma proxy from a byte sum). Pure function of the bytes,
   so the whole mapInPandas pipeline is DuckDB-oracle-checkable end to end —
   the plumbing is verified, not just smoke-tested.
-* ``pillow_decode`` — the production shape: decodes real images via PIL,
-  which is NOT installed in this container → raises NotImplementedError at
-  call time with instructions; import of this module never fails.
 
 Scale notes: content bytes never shuffle in the metadata queries (hash and
 length are computed at scan, columns pruned before any exchange); the
@@ -126,6 +131,126 @@ def pillow_decode(content: bytes) -> tuple[int, int, float]:
     return img.width, img.height, (sum(px) / len(px) / 255.0) if px else 0.0
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# PIL's ITU-R 601-2 integer grayscale conversion (convert("L")): used by the
+# stdlib tier so a pillow-equipped environment and a codec-less one produce
+# IDENTICAL luma for the same RGB pixels.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _l601(r: int, g: int, b: int) -> int:
+    return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (filter 0 rows, one zlib stream) —
+    enough to synthesize REAL image streams for fixtures and tests; the
+    decoder below handles the general format, not just this subset."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(content: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib PNG decoder: (width, height, mean-luma/255). Supports
+    bit depth 8, color types 0/2/3/4/6, all five scanline filters,
+    non-interlaced streams (raises ValueError on Adam7 / exotic depths —
+    callers fall back). CRCs are not validated (zlib's own checksum guards
+    the pixel data; a torn chunk fails the inflate). Luma uses PIL's
+    integer ITU-R 601-2 formula so results match ``pillow_decode`` exactly
+    on the same pixels."""
+    import struct
+    import zlib
+
+    if not content.startswith(PNG_SIG):
+        raise ValueError("not a PNG stream")
+    pos, ihdr, plte, idat = len(PNG_SIG), None, b"", []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth} type={ctype} i={interlace})")
+    ch = _PNG_CHANNELS[ctype]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("scanline length mismatch")
+    prev = bytearray(stride)
+    total = 0
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter {ftype}")
+        for x in range(width):
+            px = line[x * ch : (x + 1) * ch]
+            if ctype == 0 or ctype == 4:
+                total += px[0]
+            elif ctype == 3:
+                i3 = px[0] * 3
+                total += _l601(plte[i3], plte[i3 + 1], plte[i3 + 2])
+            else:  # 2 (RGB) or 6 (RGBA) — alpha ignored, as PIL convert("L")
+                total += _l601(px[0], px[1], px[2])
+        prev = line
+    n = width * height
+    return width, height, (total / n / 255.0) if n else 0.0
+
+
 _CODEC_PROBE: list[str] = []  # memo: failed imports are NOT cached by Python,
 # so probing per row in a codec-less environment would rescan sys.path for
 # every decoded asset; one probe per interpreter (driver + each worker)
@@ -147,18 +272,55 @@ def probe_codec() -> str:
 
 
 def auto_decode(content: bytes) -> tuple[int, int, float]:
-    """Default decoder: the real pillow codec when the package is installed
-    AND the bytes parse as an image; the deterministic fake codec otherwise.
-    The synthetic fixtures are not valid image streams, so they take the
-    fake path on EVERY environment — oracle results are codec-independent —
-    while real JPEG/PNG bytes decode for real wherever pillow exists."""
+    """Default decoder, tiered: the real pillow codec when installed and the
+    bytes parse; else the pure-stdlib PNG decoder whenever the bytes carry
+    the PNG signature (REAL decoding, executable in codec-less
+    environments — mm11 oracle-checks it end to end); else the
+    deterministic fake codec. The text-bytes fixtures are not valid image
+    streams, so they take the fake path on EVERY environment — oracle
+    results are codec-independent — while real PNG bytes decode for real
+    everywhere, and other real formats (JPEG, …) wherever pillow exists.
+    Both real tiers share PIL's integer ITU-R 601-2 luma, so the tier
+    taken never changes the answer for the same pixels."""
     if probe_codec() == "pillow":
         try:
             return pillow_decode(content)
         except Exception:
-            # not a decodable image stream -> deterministic fallback
+            # not a decodable image stream -> next tier
+            pass
+    if content[: len(PNG_SIG)] == PNG_SIG:
+        try:
+            return png_decode(content)
+        except ValueError:
+            # exotic PNG (Adam7, 16-bit, torn stream) -> deterministic tier
             pass
     return fake_decode(content)
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """REAL PNG streams synthesized from document text: each doc becomes an
+    8-bit grayscale image on a doc-keyed W×H canvas (W = 8 + id%5,
+    H = 4 + id%7) whose pixels are the utf-8 bytes cycled — so the decoded
+    (width, height, luma) are exactly derivable from the document row by
+    byte arithmetic, which is what lets mm11 oracle-check an actual codec
+    path. mapInPandas per input partition; emits one asset row per doc."""
+    pruned = docs.select("doc_id", "text")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                tb = (text or "").encode("utf-8") or b"\x00"
+                w = 8 + did % 5
+                h = 4 + did % 7
+                px = bytes(tb[i % len(tb)] for i in range(w * h))
+                rows.append((did, "image", encode_png_gray(px, w, h)))
+            yield pd.DataFrame(rows, columns=["media_id", "modality", "content"])
+
+    return pruned.mapInPandas(
+        _batches, "media_id bigint, modality string, content binary"
+    )
 
 
 def extract_media_features(

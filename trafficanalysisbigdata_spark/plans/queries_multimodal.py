@@ -494,3 +494,57 @@ def mm10_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "mm11_png_codec_features",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 5 AS w,
+             4 + doc_id % 7 AS h,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT media_id, w, h,
+             ROUND(list_sum(list_transform(range(0, w * h),
+                     i -> ('0x' || substr(hx, CAST((i % nb) * 2 + 1 AS BIGINT),
+                                          2))::BIGINT))
+                   / (w * h) / 255.0, 6) AS luma
+      FROM imgs
+    )
+    SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           COUNT(*) AS n_assets,
+           ROUND(SUM(luma), 6) AS sum_luma
+    FROM px GROUP BY width, height ORDER BY width, height
+    """,
+    tags=("multimodal", "codec", "png"),
+    tables=("documents",),
+)
+def mm11_png_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL codec path, value-oracle-checked end to end: documents become
+    actual 8-bit grayscale PNG streams (pixels = utf-8 bytes cycled over a
+    doc-keyed W×H canvas, encoded with zlib), then the standard
+    decode/feature stage runs them through ``auto_decode`` — the pillow
+    tier where installed, the pure-stdlib PNG decoder (zlib inflate +
+    per-scanline unfilter) otherwise, both sharing PIL's integer ITU-R
+    601-2 luma so the tier never changes the answer. The oracle re-derives
+    every decoded (width, height, luma) from the document bytes directly,
+    so a decode defect on EITHER tier desyncs the hash.
+
+    Scale posture: encode and decode both ride mapInPandas per input
+    partition (no shuffle carries content bytes); the rollup is one skinny
+    partial/final agg over small feature rows."""
+    from ..operators.multimodal import extract_media_features, synthesize_png_media
+
+    docs = spark.table("documents").filter(F.col("doc_id") % 3 == 0)
+    feats = extract_media_features(synthesize_png_media(docs))
+    return (
+        feats.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.round(F.sum("luma"), 6).alias("sum_luma"),
+        )
+        .orderBy("width", "height")
+    )
