@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     "mlx3_abnormal_label_stage",
     "mlx4_quality_split_contract",
     "mm11_png_codec_features",
+    "sql15_order_count_distribution",
+    "sql16_dominant_part_suppliers",
+    "sql17_waiting_suppliers",
 ]
 
 

@@ -262,3 +262,31 @@ def test_olap9_bucket_is_data_derived_not_physical(spark, sf_dir):
     and a recomputed exchange could mis-align the two branches."""
     plan = _plan(spark, sf_dir, "olap9_pareto_abc")
     assert "spark_partition_id" not in plan.lower()
+
+
+def test_sql15_filter_stays_in_outer_join_condition(spark, sf_dir):
+    """sql15 (Q13): the priority filter must ride the LEFT OUTER join's ON
+    clause — pushed to WHERE it would drop zero-order customers and erase
+    the c_count=0 bucket. The plan must keep an outer join (Catalyst must
+    NOT simplify it to inner because of the ON-side filter)."""
+    plan = _plan(spark, sf_dir, "sql15_order_count_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_sql16_in_subqueries_become_semi_joins(spark, sf_dir):
+    """sql16 (Q20): both IN subqueries (supplier qualification, part
+    LIKE-list) must plan as left semi joins, and the correlated HAVING
+    aggregate must be decorrelated into a join (the plan compiles and
+    carries no subquery nodes)."""
+    plan = _plan(spark, sf_dir, "sql16_dominant_part_suppliers")
+    assert plan.count("LeftSemi") >= 2
+    assert "Subquery" not in plan or "SubqueryBroadcast" in plan
+
+
+def test_sql17_exists_pair_becomes_semi_plus_anti(spark, sf_dir):
+    """sql17 (Q21): the correlated EXISTS plans as a left semi join and the
+    correlated NOT EXISTS as a left anti join — four lineitem accesses
+    co-partitioned on l_orderkey, no correlated-subquery execution."""
+    plan = _plan(spark, sf_dir, "sql17_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan

@@ -400,3 +400,90 @@ register_sql(
     "never a global sort; ties surface as multiple rows (exact decimal "
     "revenue makes tie detection deterministic), ordered by suppkey.",
 )
+
+
+register_sql(
+    "sql15_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("sql", "outer-join", "distribution", "tpch"),
+    tables=("customer", "orders"),
+    doc="TPC-H Q13 shape via spark.sql (order filter adapted to the fixture "
+    "schema: o_orderpriority stands in for the o_comment anti-pattern). "
+    "The defining trick is the filter living in the LEFT JOIN's ON clause — "
+    "in WHERE it would silently drop zero-order customers, which are the "
+    "c_count=0 bucket the distribution exists to show. Catalyst plans a "
+    "shuffled left outer join (both sides big), then two partial/final "
+    "aggs; (custdist DESC, c_count DESC) is a total order because c_count "
+    "is unique per output row.",
+)
+
+register_sql(
+    "sql16_dominant_part_suppliers",
+    """
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+          AND l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,6))) >
+          (SELECT CAST(0.3 AS DECIMAL(3,2))
+                  * SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+           FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey
+             AND l2.l_shipdate >= DATE '1996-01-01'
+             AND l2.l_shipdate < DATE '1997-01-01'))
+    ORDER BY s_name
+    """,
+    tags=("sql", "subquery", "correlated-agg", "tpch"),
+    tables=("supplier", "nation", "lineitem", "part"),
+    doc="TPC-H Q20 shape via spark.sql (partsupp availability adapted to "
+    "the fixture schema: a supplier qualifies when it shipped > 30% of a "
+    "small-part's windowed volume — the same nested IN + correlated scalar "
+    "aggregate Catalyst must decorrelate). The correlated HAVING subquery "
+    "rewrites to a per-part total agg joined back on the grouping key "
+    "(the Q17 decorrelation applied inside an IN); the part IN-list is a "
+    "semi join pushed below the grouping; decimal x decimal keeps the 30% "
+    "threshold exact on both engines.",
+)
+
+register_sql(
+    "sql17_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    tags=("sql", "exists", "anti", "self-join", "tpch"),
+    tables=("supplier", "nation", "lineitem", "orders"),
+    doc="TPC-H Q21 shape via spark.sql — the hardest decorrelation in the "
+    "suite: FOUR accesses to lineitem (base + correlated EXISTS + "
+    "correlated NOT EXISTS), adapted to the fixture schema "
+    "(l_returnflag='R' stands in for receipt-after-commit lateness). "
+    "Catalyst plans the EXISTS as a left semi and the NOT EXISTS as a "
+    "left anti join, both shuffled on l_orderkey so all three lineitem "
+    "sides co-partition on one exchange family; the non-equi "
+    "l_suppkey <> conjunct rides the join condition. Deterministic top-20 "
+    "via the unique s_name tie-break.",
+)
