@@ -228,6 +228,160 @@ def docs_with_lang(docs):
     )
 
 
+def gen_embeddings_dist(spark, n_vecs: int, path: str) -> None:
+    """Same statistical family as ``gen_embeddings`` (8 loose Gaussian
+    clusters, 5% near-twins at cos ≈ 0.997) generated DISTRIBUTIVELY for
+    the 100x point: every vector is a pure function of vec_id (twins
+    REGENERATE their source from its id), so the generator scales linearly
+    and the (source, twin) ground-truth pair set is derivable in closed
+    form for recall measurement."""
+    import pandas as pd
+
+    n_base = int(n_vecs * 0.95)
+
+    def gen(batches):
+        rng0 = np.random.RandomState(SEED)
+        centers = rng0.randn(8, DIM) * 4.0
+
+        def base_vec(i: int):
+            r = np.random.RandomState((SEED ^ (i * 2654435761)) % 2**31)
+            return centers[i % 8] + r.randn(DIM) * 2.5
+
+        for pdf in batches:
+            out = []
+            for i in pdf["vec_id"]:
+                i = int(i)
+                if i < n_base:
+                    v = base_vec(i)
+                else:
+                    src = (i * 40503) % n_base
+                    r = np.random.RandomState((SEED ^ (i * 97)) % 2**31)
+                    v = base_vec(src) + r.randn(DIM) * 0.15
+                out.append((i, [float(x) for x in v]))
+            yield pd.DataFrame(out, columns=["vec_id", "embedding"])
+
+    (
+        spark.range(n_vecs)
+        .withColumnRenamed("id", "vec_id")
+        .repartition(64)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def run_100x_lsh_mode(spark) -> None:
+    """100x scale points for the LSH/IVF families (dd2, dd5, sim3, sim4)
+    with the SHIPPED dials engaged, plus recall at scale:
+
+    * dd2  — absolute ``max_bucket=256`` (constant worst-bucket work);
+    * dd5  — k ≈ n/500 (pair volume ≈ n · cell_size, assignment n·k);
+    * sim3 — in-code ``adaptive_n_planes`` (saturates at its
+      recall-preserving cap P=8 for n >= 32k; candidate fetch stays
+      probes × bucket, linear in bucket size);
+    * sim4 — adaptive P **plus** ``max_bucket=1024``: past the P cap the
+      per-bucket population grows with n again, so the absolute bucket cap
+      is the engaged dial for the PAIR-LIST consumer — the measured
+      trade is wall vs the twin-recall printed alongside.
+
+    Recall receipts: sim3 = mean top-5 overlap vs exact brute force on 50
+    probes (exact ground truth is probes × corpus — linear, feasible at
+    500k); sim4 = fraction of the INJECTED near-twin pairs (known in
+    closed form from the generator) recovered — all-pairs ground truth
+    would be quadratic, the twin set is the linear true signal."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators import dedup as dd
+    from trafficanalysisbigdata_spark.operators import similarity as sim
+
+    sizes = {"10x": N_SMALL * SCALE, "100x": N_SMALL * SCALE * 10}
+    out: dict[str, dict] = {}
+    for tag, n_docs in sizes.items():
+        n_vecs = n_docs  # 1 vector per doc at this mode's scale
+        dp = f"{BASE}/docs_dist_{tag}"
+        ep = f"{BASE}/emb_dist_{tag}"
+        for path, gen, arg in ((dp, gen_documents_dist, n_docs), (ep, gen_embeddings_dist, n_vecs)):
+            if not os.path.exists(f"{path}/_SUCCESS"):
+                t0 = time.perf_counter()
+                gen(spark, arg, path)
+                print(f"  gen {path}: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        docs = spark.read.parquet(dp)
+        emb = spark.read.parquet(ep)
+        probes = emb.filter(F.col("vec_id") < 50)
+        n_centroids = max(8, n_docs // 500)
+
+        ops = {
+            "dd2_minhash_lsh": lambda: dd.minhash_lsh_scores(docs, max_bucket=256)
+            .filter(F.col("jaccard") >= 0.5)
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("jaccard"), 2).alias("s")),
+            "dd5_centroid_dedup": lambda: sim.centroid_semantic_dedup(
+                emb, n_centroids=n_centroids, threshold=0.30
+            ).agg(F.sum("n_dupes").alias("dupes")),
+            "sim3_lsh_topk": lambda: sim.lsh_topk(emb, probes, k=5, n_tables=16, dim=DIM),
+            "sim4_lsh_neardup": lambda: sim.lsh_neardup_pairs(
+                emb, 0.8, n_tables=16, dim=DIM, max_bucket=1024
+            ).agg(F.count(F.lit(1)).alias("pairs")),
+        }
+        res: dict[str, float] = {}
+        for name, fn in ops.items():
+            # dd5 at 100x: k = n/500 = 1000 centroids makes the broadcast
+            # assignment an n*k = 5e8-cosine job (minutes per pass on one
+            # node) — a single un-warmed pass is the honest measurement we
+            # can afford, and the point of the row is the RATIO exposing
+            # that n*k assignment needs a two-level quantizer (sim8's
+            # persisted index amortizes exactly this) past ~1e5 centroids,
+            # as the operator's docstring already states.
+            single = name == "dd5_centroid_dedup" and tag == "100x"
+            if not single:
+                fn().write.format("noop").mode("overwrite").save()  # warm codegen
+            ts = []
+            for _ in range(1 if single else 2):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                ts.append(round(time.perf_counter() - t0, 2))
+            res[name] = min(ts)
+            print(f"  {tag} {name}: {ts} -> {res[name]}s", file=sys.stderr, flush=True)
+
+        # --- recall receipts (untimed) -----------------------------------
+        truth = {
+            r.query_id: set()
+            for r in probes.select("vec_id").withColumnRenamed("vec_id", "query_id").collect()
+        }
+        for r in sim.brute_force_topk(emb, probes, k=5).collect():
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        approx: dict[int, set] = {}
+        for r in sim.lsh_topk(emb, probes, k=5, n_tables=16, dim=DIM).collect():
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        overlaps = [
+            len(truth[q] & approx.get(q, set())) / max(1, len(truth[q]))
+            for q in truth
+            if truth[q]
+        ]
+        res["sim3_recall_at_5"] = round(sum(overlaps) / len(overlaps), 3)
+
+        n_base = int(n_vecs * 0.95)
+        expected = (
+            spark.range(n_base, n_vecs)
+            .select(
+                F.least((F.col("id") * 40503) % n_base, F.col("id")).alias("id1"),
+                F.greatest((F.col("id") * 40503) % n_base, F.col("id")).alias("id2"),
+            )
+            .distinct()
+        )
+        pairs = sim.lsh_neardup_pairs(emb, 0.8, n_tables=16, dim=DIM, max_bucket=1024)
+        found = expected.join(pairs.select("id1", "id2"), ["id1", "id2"], "left_semi")
+        n_exp = expected.count()
+        res["sim4_twin_recall"] = round(found.count() / max(1, n_exp), 3)
+        res["sim4_pairs_out"] = pairs.count()
+        print(f"  {tag} recalls: sim3={res['sim3_recall_at_5']} "
+              f"sim4={res['sim4_twin_recall']} pairs={res['sim4_pairs_out']}",
+              file=sys.stderr, flush=True)
+        out[tag] = res
+    timed = ["dd2_minhash_lsh", "dd5_centroid_dedup", "sim3_lsh_topk", "sim4_lsh_neardup"]
+    ratios = {k: round(out["100x"][k] / out["10x"][k], 2) for k in timed}
+    print(json.dumps({"mode": "100x_lsh", "timings": out, "ratio_100x_vs_10x": ratios}))
+
+
 def _registered_over_view(spark, qname: str, views: dict):
     """Thunk running a REGISTERED query over temp views of rehearsal data —
     the shipped code path, same idiom as the text mode."""
@@ -805,6 +959,9 @@ def main() -> None:
         return
     if wanted == ["100x"]:
         run_100x_mode(spark)
+        return
+    if wanted == ["100xlsh"]:
+        run_100x_lsh_mode(spark)
         return
     for tag in wanted:
         n = all_sizes[tag]
