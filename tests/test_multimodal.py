@@ -344,3 +344,55 @@ def test_auto_decode_tiers():
         + chunk(b"IEND", b"")
     )
     assert auto_decode(interlaced) == fake_decode(interlaced)
+
+    # MALFORMED PNGs raise non-ValueError exceptions from the stdlib parse
+    # (zlib.error / struct.error / IndexError) — each must fall through to
+    # the fake tier, not crash the mapInPandas task (round-9 advice).
+    corrupt_idat = (  # valid header, garbage IDAT -> zlib.error
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + chunk(b"IEND", b"")
+    )
+    assert auto_decode(corrupt_idat) == fake_decode(corrupt_idat)
+    truncated = PNG_SIG + struct.pack(">I", 13) + b"IHDR" + b"\x00\x00"
+    assert auto_decode(truncated) == fake_decode(truncated)  # struct.error
+    no_plte = (  # palette color type but no PLTE chunk -> IndexError
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+        + chunk(b"IEND", b"")
+    )
+    assert auto_decode(no_plte) == fake_decode(no_plte)
+
+
+def test_mm11_empty_text_doc_oracle_parity(spark):
+    """Empty/NULL-text documents: synthesize_png_media substitutes a single
+    zero byte, and the mm11 oracle must mirror that fallback (hx '00',
+    nb 1) instead of computing i % 0 — the round-9 advice desync. Runs the
+    registered query AND its DuckDB oracle over a 3-doc fixture where the
+    doc_id % 3 = 0 rows are exactly the degenerate ones."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_harness import compare
+    from trafficanalysisbigdata_spark.plans.registry import load_all
+
+    spec = load_all()["mm11_png_codec_features"]
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 3, 6, 7], "text": ["", None, "hello world", "skip"]}
+    )
+    s2 = spark.newSession()
+    s2.createDataFrame(
+        [(0, ""), (3, None), (6, "hello world"), (7, "skip")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    out = spec.fn(s2, "")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = con.execute(spec.oracle).df()
+    assert compare("mm11_empty_text", out, duck) == []
+    # the degenerate docs decode as all-zero pixels: luma contribution 0
+    rows = {(r.width, r.height): r for r in out.collect()}
+    assert rows[(8, 4)].sum_luma == 0.0   # doc 0: W=8,H=4, all-zero canvas
+    assert rows[(8 + 3 % 5, 4 + 3 % 7)].sum_luma == 0.0

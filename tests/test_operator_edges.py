@@ -549,3 +549,21 @@ def test_two_stage_rerank_small_corpus(spark):
     assert {r.neighbor_id for r in rows} == {1, 2, 3}
     cos = [r.cos for r in sorted(rows, key=lambda r: -r.cos)]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_olap9_empty_catalog(spark, tmp_path):
+    """olap9's range-bounds driver action returns NULL percentiles over an
+    empty catalog; the `or []` guard must degrade to one bucket and an
+    empty result instead of raising at plan-build time (round-9 advice).
+    The registry wrapper re-registers views from sf_dir, so the empty
+    catalog must BE an sf_dir: a zero-row lineitem.parquet in a tmpdir
+    (a temp view would be clobbered by register_views)."""
+    from trafficanalysisbigdata_spark.plans.registry import queries
+
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = queries()["olap9_pareto_abc"](spark.newSession(), str(tmp_path))
+    assert out.count() == 0

@@ -31,6 +31,8 @@ only small feature rows. Dedup groups on the 16-byte md5, not the content.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -291,8 +293,12 @@ def auto_decode(content: bytes) -> tuple[int, int, float]:
     if content[: len(PNG_SIG)] == PNG_SIG:
         try:
             return png_decode(content)
-        except ValueError:
-            # exotic PNG (Adam7, 16-bit, torn stream) -> deterministic tier
+        except (ValueError, zlib.error, struct.error, IndexError):
+            # exotic or malformed PNG -> deterministic tier. ValueError is
+            # png_decode's own rejection (Adam7, 16-bit); the rest are what
+            # a torn stream actually raises: zlib.error from a corrupt
+            # IDAT inflate, struct.error from a truncated IHDR/chunk
+            # header, IndexError from a palette image missing its PLTE.
             pass
     return fake_decode(content)
 

@@ -500,11 +500,15 @@ def mm10_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm11_png_codec_features",
     oracle="""
     WITH imgs AS (
+      -- NULL/empty text mirrors synthesize_png_media's b'\\x00' substitute
+      -- (hx '00', nb 1); bare octet_length 0 would make i % nb NULL and
+      -- desync any empty-text fixture doc (round-9 advice)
       SELECT doc_id AS media_id,
              8 + doc_id % 5 AS w,
              4 + doc_id % 7 AS h,
-             hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS nb
+             CASE WHEN COALESCE(text, '') = '' THEN '00'
+                  ELSE hex(encode(text)) END AS hx,
+             GREATEST(octet_length(encode(COALESCE(text, ''))), 1) AS nb
       FROM documents WHERE doc_id % 3 = 0
     ), px AS (
       SELECT media_id, w, h,

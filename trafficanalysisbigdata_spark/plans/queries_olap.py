@@ -703,9 +703,13 @@ def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Phase 0: range bounds as literals (1-row driver action, ~RangePartitioner).
     fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # `or []` guards the empty-catalog edge: percentile_approx over zero
+    # rows yields NULL, and one bucket over an empty frame is still an
+    # empty (correct) result — without it the reduce below would raise at
+    # plan-build time (round-9 advice).
     cuts = g.select(
         F.percentile_approx(F.col("rev_dec").cast("double"), fracs, 10000).alias("c")
-    ).first()["c"]
+    ).first()["c"] or []
     # Phase 1: value-derived bucket — number of bounds strictly above this
     # revenue, so bucket 0 holds the largest revenues (desc total order) and
     # equal revenues always share a bucket; per-bucket cumsums in parallel.
