@@ -317,20 +317,37 @@ def run_100x_lsh_mode(spark) -> None:
             "dd5_centroid_dedup": lambda: sim.centroid_semantic_dedup(
                 emb, n_centroids=n_centroids, threshold=0.30
             ).agg(F.sum("n_dupes").alias("dupes")),
-            "sim3_lsh_topk": lambda: sim.lsh_topk(emb, probes, k=5, n_tables=16, dim=DIM),
+            # n_rows: the rehearsal KNOWS the corpus size, so the adaptive-P
+            # derivation must not spend a count() scan (the shipped API for
+            # callers with table stats — round-8 verdict item)
+            "sim3_lsh_topk": lambda: sim.lsh_topk(
+                emb, probes, k=5, n_tables=16, dim=DIM, n_rows=n_vecs
+            ),
+            # n_tables=None: the SHIPPED auto-dial pair (P from the corpus,
+            # L from (P, bar)) — pinning L=16 with the old P cap 8 is what
+            # let 500k occupancy blow past max_bucket and cost twin recall
+            # (0.748, round-9 first run); the dial holds bar-recall as
+            # banding deepens.
             "sim4_lsh_neardup": lambda: sim.lsh_neardup_pairs(
-                emb, 0.8, n_tables=16, dim=DIM, max_bucket=1024
+                emb, 0.8, n_tables=None, dim=DIM, max_bucket=1024, n_rows=n_vecs
             ).agg(F.count(F.lit(1)).alias("pairs")),
         }
+        # LSH_OPS=dd2,sim3 restricts the run to a subset (prefix match on
+        # the op key) so a long member (dd5 at 100x) can be measured in a
+        # separate invocation after its scale fix lands — the recall
+        # receipts below are likewise gated on their op being selected.
+        sel = [s for s in os.environ.get("LSH_OPS", "").split(",") if s]
+        if sel:
+            ops = {k: v for k, v in ops.items() if any(k.startswith(s) for s in sel)}
         res: dict[str, float] = {}
         for name, fn in ops.items():
-            # dd5 at 100x: k = n/500 = 1000 centroids makes the broadcast
-            # assignment an n*k = 5e8-cosine job (minutes per pass on one
-            # node) — a single un-warmed pass is the honest measurement we
-            # can afford, and the point of the row is the RATIO exposing
-            # that n*k assignment needs a two-level quantizer (sim8's
-            # persisted index amortizes exactly this) past ~1e5 centroids,
-            # as the operator's docstring already states.
+            # dd5 at 100x: k = n/500 = 1000 centroids — the round-8 run
+            # measured the flat broadcast assignment's n*k = 5e8-cosine
+            # wall here (a single pass did not complete in 16.5 min).
+            # centroid_semantic_dedup now auto-routes k >= 200 through the
+            # two-level quantizer (~2*n*sqrt(k) work); a single un-warmed
+            # pass is kept so the row stays comparable with round 8's and
+            # an unexpected regression can't eat the round's wall-clock.
             single = name == "dd5_centroid_dedup" and tag == "100x"
             if not single:
                 fn().write.format("noop").mode("overwrite").save()  # warm codegen
@@ -343,41 +360,47 @@ def run_100x_lsh_mode(spark) -> None:
             print(f"  {tag} {name}: {ts} -> {res[name]}s", file=sys.stderr, flush=True)
 
         # --- recall receipts (untimed) -----------------------------------
-        truth = {
-            r.query_id: set()
-            for r in probes.select("vec_id").withColumnRenamed("vec_id", "query_id").collect()
-        }
-        for r in sim.brute_force_topk(emb, probes, k=5).collect():
-            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
-        approx: dict[int, set] = {}
-        for r in sim.lsh_topk(emb, probes, k=5, n_tables=16, dim=DIM).collect():
-            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
-        overlaps = [
-            len(truth[q] & approx.get(q, set())) / max(1, len(truth[q]))
-            for q in truth
-            if truth[q]
-        ]
-        res["sim3_recall_at_5"] = round(sum(overlaps) / len(overlaps), 3)
+        if "sim3_lsh_topk" in ops:
+            truth = {
+                r.query_id: set()
+                for r in probes.select("vec_id").withColumnRenamed("vec_id", "query_id").collect()
+            }
+            for r in sim.brute_force_topk(emb, probes, k=5).collect():
+                truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+            approx: dict[int, set] = {}
+            for r in sim.lsh_topk(
+                emb, probes, k=5, n_tables=16, dim=DIM, n_rows=n_vecs
+            ).collect():
+                approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+            overlaps = [
+                len(truth[q] & approx.get(q, set())) / max(1, len(truth[q]))
+                for q in truth
+                if truth[q]
+            ]
+            res["sim3_recall_at_5"] = round(sum(overlaps) / len(overlaps), 3)
 
-        n_base = int(n_vecs * 0.95)
-        expected = (
-            spark.range(n_base, n_vecs)
-            .select(
-                F.least((F.col("id") * 40503) % n_base, F.col("id")).alias("id1"),
-                F.greatest((F.col("id") * 40503) % n_base, F.col("id")).alias("id2"),
+        if "sim4_lsh_neardup" in ops:
+            n_base = int(n_vecs * 0.95)
+            expected = (
+                spark.range(n_base, n_vecs)
+                .select(
+                    F.least((F.col("id") * 40503) % n_base, F.col("id")).alias("id1"),
+                    F.greatest((F.col("id") * 40503) % n_base, F.col("id")).alias("id2"),
+                )
+                .distinct()
             )
-            .distinct()
-        )
-        pairs = sim.lsh_neardup_pairs(emb, 0.8, n_tables=16, dim=DIM, max_bucket=1024)
-        found = expected.join(pairs.select("id1", "id2"), ["id1", "id2"], "left_semi")
-        n_exp = expected.count()
-        res["sim4_twin_recall"] = round(found.count() / max(1, n_exp), 3)
-        res["sim4_pairs_out"] = pairs.count()
-        print(f"  {tag} recalls: sim3={res['sim3_recall_at_5']} "
-              f"sim4={res['sim4_twin_recall']} pairs={res['sim4_pairs_out']}",
-              file=sys.stderr, flush=True)
+            pairs = sim.lsh_neardup_pairs(
+                emb, 0.8, n_tables=None, dim=DIM, max_bucket=1024, n_rows=n_vecs
+            )
+            found = expected.join(pairs.select("id1", "id2"), ["id1", "id2"], "left_semi")
+            n_exp = expected.count()
+            res["sim4_twin_recall"] = round(found.count() / max(1, n_exp), 3)
+            res["sim4_pairs_out"] = pairs.count()
+            print(f"  {tag} recalls: sim3={res.get('sim3_recall_at_5')} "
+                  f"sim4={res.get('sim4_twin_recall')} pairs={res.get('sim4_pairs_out')}",
+                  file=sys.stderr, flush=True)
         out[tag] = res
-    timed = ["dd2_minhash_lsh", "dd5_centroid_dedup", "sim3_lsh_topk", "sim4_lsh_neardup"]
+    timed = [k for k in ("dd2_minhash_lsh", "dd5_centroid_dedup", "sim3_lsh_topk", "sim4_lsh_neardup") if k in out["10x"]]
     ratios = {k: round(out["100x"][k] / out["10x"][k], 2) for k in timed}
     print(json.dumps({"mode": "100x_lsh", "timings": out, "ratio_100x_vs_10x": ratios}))
 
@@ -911,6 +934,67 @@ def run_streaming_family(spark, src: str, n_rows: int, ckpt_base: str) -> dict:
     return out
 
 
+def run_st11_deep_mode(spark) -> None:
+    """st11 (the PRODUCTION ``keyed_upsert_batch`` sink, retention on) one
+    decade past the round-7 table: 100k -> 1M measured flat (1.77 -> 1.88 s);
+    10M is where version-directory churn, the per-batch full state copy and
+    ``_SUCCESS`` listing costs could start to show if the state were secretly
+    proportional to stream history instead of the key set. Receipts: wall +
+    rows/s per decade, final complete-version count (retention must hold it
+    at keep_versions), and the final state's key count."""
+    import tempfile
+    import uuid
+
+    from trafficanalysisbigdata_spark.streaming.upsert import (
+        _complete_versions,
+        keyed_upsert_batch,
+        latest_state,
+    )
+
+    out: dict[str, dict] = {}
+    for tag, n in {"1x": 100_000, "10x": 1_000_000, "100x": 10_000_000}.items():
+        sp = f"{BASE}/stream_deep_{tag}"
+        if not os.path.exists(f"{sp}/_SUCCESS"):
+            gen_stream_events(spark, n, sp)
+
+        def one_pass() -> tuple[float, str]:
+            state_root = tempfile.mkdtemp(prefix=f"reh_st11_{tag}_")
+            ck = tempfile.mkdtemp(prefix=f"reh_st11_ck_{tag}_") + "/" + uuid.uuid4().hex[:8]
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.schema(
+                    "event_id bigint, ts timestamp, user_id bigint,"
+                    " event_type string, value double"
+                )
+                .option("maxFilesPerTrigger", 2)
+                .parquet(sp)
+                .writeStream.foreachBatch(keyed_upsert_batch(state_root, keep_versions=3))
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(1200):
+                q.stop()
+                raise TimeoutError(f"st11 deep {tag} did not drain within 1200 s")
+            return time.perf_counter() - t0, state_root
+
+        one_pass()  # warm (codegen + state store init)
+        walls, state_root = [], ""
+        for _ in range(2):
+            w, state_root = one_pass()
+            walls.append(round(w, 2))
+        wall = min(walls)
+        res = {
+            "wall_s": wall,
+            "rows_per_s": int(n / wall),
+            "versions_kept": len(_complete_versions(state_root)),
+            "state_keys": latest_state(spark, state_root).count(),
+        }
+        out[tag] = res
+        print(f"  st11 {tag}: {walls} -> {json.dumps(res)}", file=sys.stderr, flush=True)
+    print(json.dumps({"mode": "st11_deep", "results": out}))
+
+
 def run_streaming_mode(spark) -> None:
     import tempfile
 
@@ -962,6 +1046,9 @@ def main() -> None:
         return
     if wanted == ["100xlsh"]:
         run_100x_lsh_mode(spark)
+        return
+    if wanted == ["st11deep"]:
+        run_st11_deep_mode(spark)
         return
     for tag in wanted:
         n = all_sizes[tag]

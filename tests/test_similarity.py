@@ -235,8 +235,11 @@ def test_hash_ivf_index_pruning_and_recall(spark, tmp_path):
 def test_adaptive_n_planes_rule():
     """The sim4 banding dial is code, not prose: P=4 (the oracle-mirrored
     floor) for every driver-SF corpus, then grows log2 with the corpus to
-    hold expected bucket size constant, capped at 8 to protect OR-amplified
-    recall at the 0.8 cosine bar."""
+    hold expected bucket size constant. The cap sits at 12 (not 8): the
+    round-9 500k rehearsal measured twin recall collapsing to 0.748 with
+    P capped at 8, because expected occupancy (~1950) blew past the 1024
+    max_bucket work cap and dense buckets were dropped wholesale — the cap
+    must track log2(n/target) through the target corpus size."""
     from trafficanalysisbigdata_spark.operators.similarity import adaptive_n_planes
 
     assert adaptive_n_planes(0) == 4
@@ -245,7 +248,65 @@ def test_adaptive_n_planes_rule():
     assert adaptive_n_planes(4095) == 4     # floor holds below 4096
     assert adaptive_n_planes(5_000) == 5    # 1x rehearsal
     assert adaptive_n_planes(50_000) == 8   # 10x rehearsal
-    assert adaptive_n_planes(10_000_000) == 8  # cap
+    assert adaptive_n_planes(500_000) == 11  # 100x rehearsal: occupancy ~244 < 1024
+    assert adaptive_n_planes(10_000_000) == 12  # cap
+
+
+def test_adaptive_n_tables_rule():
+    """L must grow with P to hold OR-amplified recall at the bar: for a
+    pair at cosine s the per-table collision rate is (1 - acos(s)/pi)^P,
+    so L = ceil(ln(1-recall)/ln(1-p^P)). Spot values from the closed form,
+    plus the invariants the dial exists for: monotone in P, never below
+    the floor, capped against explode blowup."""
+    import math
+
+    from trafficanalysisbigdata_spark.operators.similarity import adaptive_n_tables
+
+    p = 1 - math.acos(0.8) / math.pi          # ~0.795
+    for P in (4, 8, 11, 12):
+        hit = p**P
+        want = max(8, min(64, math.ceil(math.log(0.1) / math.log(1 - hit))))
+        assert adaptive_n_tables(P, 0.8) == want, P
+    assert adaptive_n_tables(4, 0.8) == 8      # floor at shallow banding
+    assert adaptive_n_tables(12, 0.8) == 35    # the P-cap pairing
+    assert adaptive_n_tables(8, 0.8) <= adaptive_n_tables(12, 0.8)
+    assert adaptive_n_tables(12, 0.95) < adaptive_n_tables(12, 0.8)  # easier bar
+    assert adaptive_n_tables(40, 0.5) == 64    # cap: one LSH stage can't carry it
+    assert adaptive_n_tables(4, 1.0) == 8      # degenerate p=1 -> floor
+
+
+def test_sim4_deep_banding_preserves_recall(spark):
+    """The auto-dial pair (P(n), L(P, bar)) end-to-end on a corpus dense
+    enough that bucket capping engages at shallow banding: planted twin
+    pairs (cosine ~1) must survive n_tables=None derivation with a small
+    max_bucket, where a pinned shallow layout loses them to bucket drops —
+    the 500k-rehearsal failure mode at unit-test scale."""
+    import numpy as np
+
+    from trafficanalysisbigdata_spark.operators.similarity import lsh_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 4, 120
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per):
+            v = center + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # planted twins: near-exact copies of the first 10 vectors
+    twins = [(1000 + i, [x * 1.001 for x in rows[i][1]]) for i in range(10)]
+    df = spark.createDataFrame(rows + twins, "vec_id long, embedding array<float>")
+    # deep banding via explicit P (the adaptive value for this density),
+    # L derived: the twins' buckets stay under the cap and recall holds
+    out = lsh_neardup_pairs(
+        df, 0.999, n_tables=None, n_planes=8, dim=dim, max_bucket=32
+    )
+    got = {(r.id1, r.id2) for r in out.collect()}
+    found = sum((i, 1000 + i) in got for i in range(10))
+    assert found >= 9, f"twin recall {found}/10 under deep banding"
 
 
 def test_sim4_zero_norm_guard(spark):
@@ -261,6 +322,25 @@ def test_sim4_zero_norm_guard(spark):
     ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
     assert 0 not in ids          # zero vector excluded from both sides
     assert all(r.qcos is not None for r in out)
+
+
+def test_sim7_nonfinite_vector_guard(spark):
+    """A NaN/Infinity element passes the raw nonzero pre-filter but drives
+    the quantization scale to NaN, collapsing the vector to all-zero
+    (nn = 0) — the nn > 0 post-guard must exclude it on both sides so no
+    null qcos reaches the ranking window (round-9 advice)."""
+    from trafficanalysisbigdata_spark.operators.similarity import quantized_topk
+
+    nan_vec = [float("nan")] + [1.0] * 7
+    inf_vec = [float("inf")] + [1.0] * 7
+    df = spark.createDataFrame(
+        [(0, nan_vec), (1, inf_vec), (2, [1.0] * 8), (3, [0.5] * 8), (4, [-1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantized_topk(df, df, k=3).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert 0 not in ids and 1 not in ids   # non-finite rows excluded
+    assert out and all(r.qcos is not None for r in out)
 
 
 def test_two_stage_rerank_recall_dominates_quantized(spark, sf_dir):
@@ -317,3 +397,150 @@ def test_fixture_corpora_derive_oracle_band_layout():
         assert adaptive_n_planes(n) == 4, (sf, n)
         checked += 1
     assert checked, "no fixture dirs found"
+
+
+def test_two_level_assign_equals_flat_when_supers_cover(spark):
+    """With n_super = k every centroid is its own super (self-cosine 1 is
+    the argmax), so the two-hop route degenerates to exact flat argmax —
+    the algebraic sanity anchor for the approximation."""
+    import numpy as np
+
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        centroid_semantic_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flat = centroid_semantic_dedup(df, n_centroids=12, assignment="flat")
+    # n_super = ceil(sqrt(12)) = 4 two-hop vs 12-super (= flat) route
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        _argmax_cosine,
+        two_level_assign,
+    )
+    from pyspark.sql import functions as F
+
+    cent = (
+        df.select(
+            F.col("vec_id").alias("cid"),
+            F.md5(F.col("vec_id").cast("string")).alias("__h"),
+            F.col("embedding").alias("center"),
+        )
+        .orderBy("__h", "cid")
+        .limit(12)
+        .drop("__h")
+    )
+    full = two_level_assign(df, cent, n_super=12)
+    exact = _argmax_cosine(
+        df.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")),
+        cent,
+        "vid",
+        "cid",
+    )
+    got = {r.vid: r.cid for r in full.collect()}
+    want = {r.vid: r.cid for r in exact.collect()}
+    assert got == want
+    assert flat.count() > 0  # flat path still builds after the refactor
+
+
+def test_two_level_assign_partition_invariants_and_agreement(spark):
+    """Two-level with s = ceil(sqrt k): every vector assigned exactly once,
+    to a real centroid id, deterministically; on cluster-structured data
+    the approximate route agrees with exact flat argmax for the bulk of
+    vectors (boundary vectors may differ — that is the documented IVF
+    trade)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        _argmax_cosine,
+        two_level_assign,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 16) * 5.0
+    rows = [
+        (i, [float(x) for x in centers[i % 6] + rng.randn(16) * 0.5])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = (
+        df.select(
+            F.col("vec_id").alias("cid"),
+            F.md5(F.col("vec_id").cast("string")).alias("__h"),
+            F.col("embedding").alias("center"),
+        )
+        .orderBy("__h", "cid")
+        .limit(25)
+        .drop("__h")
+    )
+    out = two_level_assign(df, cent, n_super=5)
+    rows1 = {r.vid: r.cid for r in out.collect()}
+    assert len(rows1) == 400                         # one row per vector
+    cids = {r.cid for r in cent.collect()}
+    assert set(rows1.values()) <= cids               # picks are real centroids
+    rows2 = {r.vid: r.cid for r in two_level_assign(df, cent, n_super=5).collect()}
+    assert rows1 == rows2                            # deterministic
+    exact = {
+        r.vid: r.cid
+        for r in _argmax_cosine(
+            df.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")),
+            cent,
+            "vid",
+            "cid",
+        ).collect()
+    }
+    agree = sum(1 for v, c in rows1.items() if exact[v] == c) / len(rows1)
+    assert agree >= 0.8, f"two-level agreement collapsed: {agree}"
+
+
+def test_centroid_dedup_auto_crossover(spark):
+    """assignment='auto' must stay on the exact flat path below k=200 (the
+    oracle-mirrored regime) and reject unknown strategies loudly."""
+    import pytest as _pytest
+
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        centroid_semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    a = centroid_semantic_dedup(df, n_centroids=8, assignment="auto").collect()
+    f = centroid_semantic_dedup(df, n_centroids=8, assignment="flat").collect()
+    assert a == f
+    with _pytest.raises(ValueError, match="assignment"):
+        centroid_semantic_dedup(df, n_centroids=8, assignment="bogus")
+
+
+def test_lsh_n_rows_skips_count_job(spark, monkeypatch):
+    """When the caller supplies n_rows, the adaptive-P derivation must not
+    trigger a corpus count() — at 100 TB that scalar is a full scan before
+    any real work (round-8 verdict item). count() is poisoned for the
+    duration; plan construction must still succeed and derive the same P
+    the count-based path would."""
+    from pyspark.sql import DataFrame
+
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        adaptive_n_planes,
+        lsh_neardup_pairs,
+        lsh_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 2.0]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def _boom(self):
+        raise AssertionError("count() job triggered despite n_rows")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    t = lsh_topk(df, df.limit(2), k=3, n_tables=4, dim=4, n_rows=50_000)
+    p = lsh_neardup_pairs(df, 0.9, n_tables=4, dim=4, n_rows=50_000)
+    # plans build without an action; the dial matches the explicit rule
+    assert t.columns == ["query_id", "neighbor_id", "cos"]
+    assert p.columns == ["id1", "id2", "cos"]
+    assert adaptive_n_planes(50_000) == 8

@@ -34,6 +34,7 @@ candidates.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -167,16 +168,18 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates colliding with the probe in
     at least one of the L hash tables (OR-amplified recall).
 
-    ``n_planes=None`` derives the dial from the corpus count via
-    ``adaptive_n_planes`` (per-probe candidate volume is ~probes·n/2^P, so
-    banding must deepen with the corpus like the pair path); pass an
-    explicit value to pin a band layout against a static oracle."""
+    ``n_planes=None`` derives the dial via ``adaptive_n_planes`` from
+    ``n_rows`` when the caller already knows the corpus size (ingest
+    pipelines and table stats do — at 100 TB an extra count() is a full
+    scan before any real work starts), else from one count() job; pass an
+    explicit ``n_planes`` to pin a band layout against a static oracle."""
     if n_planes is None:
-        n_planes = adaptive_n_planes(corpus.count())
+        n_planes = adaptive_n_planes(corpus.count() if n_rows is None else n_rows)
     cb = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "neighbor_id")
     pb = _exploded_buckets(probes, n_tables, n_planes, dim, id_col, vec_col, "query_id")
     cand = (
@@ -235,18 +238,32 @@ def table_bucket_capped(buckets: DataFrame, max_bucket: int) -> DataFrame:
 
 
 def adaptive_n_planes(
-    n: int, floor: int = 4, cap: int = 8, target_bucket: int = 128
+    n: int, floor: int = 4, cap: int = 12, target_bucket: int = 128
 ) -> int:
     """The n_planes dial as CODE (dd5's k∝√n discipline applied to LSH
     banding): per-table candidate-pair volume is ~n²/2^P at uniform
     occupancy, so holding expected bucket size at ``target_bucket`` means
     2^P ∝ n, i.e. P = log2(n / target_bucket). Clamped to [floor, cap]:
     the floor keeps toy corpora at the oracle-mirrored P=4 (any corpus
-    < 4096 vectors derives 4, which covers every driver SF), the cap at 8
-    keeps OR-amplified recall ≥ ~0.94 for pairs at the 0.8 cosine bar with
-    L=16 tables ((1 − θ/π)^8 per table). Measured on the 10× rehearsal:
-    the fixed-P=6 run grew 10.5× in wall for 10× data; this rule (P=8 at
-    50k vectors) divides candidate volume 4× right where the growth was."""
+    < 4096 vectors derives 4, which covers every driver SF); the cap at 12
+    carries the rule to ~500k vectors before bucket growth resumes.
+
+    The cap MUST stay above log2(n/target) through the target corpus size:
+    the round-9 500k rehearsal measured what happens when it doesn't.
+    With the old cap 8, expected occupancy was 500k/256 ≈ 1950 > the 1024
+    ``max_bucket`` work cap, so ``table_bucket_capped`` dropped the dense
+    buckets wholesale and injected-twin recall fell to 0.748 (from 1.000
+    at 50k, where occupancy ≈ 195 never engaged the cap). Deeper banding
+    is the recall-PRESERVING response exactly as ``table_bucket_capped``'s
+    docstring prescribes — purer buckets stay under the work cap, so true
+    pairs stop being casualties of bucket truncation. The trade is
+    per-band selectivity: a pair at cosine s collides per table with
+    probability (1 − θ(s)/π)^P, so OR-amplified recall AT THE BAR needs
+    L to grow with P — that compensation is ``adaptive_n_tables``; net
+    candidate volume still falls ~2^ΔP / (L'/L), e.g. 16×/2.25 ≈ 7× going
+    P 8→12 at the 0.8 bar. Measured on the 10× rehearsal: the fixed-P=6
+    run grew 10.5× in wall for 10× data; this rule (P=8 at 50k vectors)
+    divides candidate volume 4× right where the growth was."""
     import math
 
     if n <= target_bucket:
@@ -254,15 +271,46 @@ def adaptive_n_planes(
     return max(floor, min(cap, int(math.log2(n / target_bucket))))
 
 
+def adaptive_n_tables(
+    n_planes: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    floor: int = 8,
+    cap: int = 64,
+) -> int:
+    """The L dial that keeps OR-amplified recall AT THE SIMILARITY BAR
+    constant while ``adaptive_n_planes`` deepens banding with the corpus:
+    a pair at cosine ``threshold`` agrees with one random hyperplane with
+    probability p = 1 − θ/π (θ = arccos(threshold)), collides per table
+    with p^P, so L ≥ ln(1 − target_recall) / ln(1 − p^P) tables give
+    recall ≥ target_recall for every pair AT OR ABOVE the bar (recall is
+    monotone in cosine). Clamped: the floor keeps toy corpora at a stable
+    layout, the cap bounds the explode volume (n·L bucket rows) — hitting
+    it means the (P, threshold) combination demands more amplification
+    than one LSH stage should carry, and the right move is a coarser P or
+    a re-rank stage (sim9's two-stage shape). At (P=12, bar 0.8):
+    p ≈ 0.795, p^12 ≈ 0.064, L = 35 — candidate volume per table shrinks
+    16× vs P=8 while L grows 2.2×, a ~7× net reduction at equal recall."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    hit = p**n_planes
+    if hit >= 1.0 or hit <= 0.0:
+        return floor
+    need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+    return max(floor, min(cap, need))
+
+
 def lsh_neardup_pairs(
     corpus: DataFrame,
     threshold: float,
-    n_tables: int = 16,
+    n_tables: int | None = 16,
     n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded LSH candidates (pairs
     colliding in any table), then exact cosine ≥ threshold. Never all-pairs —
@@ -271,10 +319,15 @@ def lsh_neardup_pairs(
     self-join: at web scale a dense region's bucket is the same quadratic
     hazard the MinHash path caps (see ``dedup.bucket_capped``).
 
-    ``n_planes=None`` (default) derives the dial from the corpus count via
-    ``adaptive_n_planes`` — one cheap count() job, then banding that holds
-    expected bucket size constant as the corpus grows. Pass an explicit
-    value only to pin a band layout (e.g. to mirror a static oracle).
+    ``n_planes=None`` (default) derives the dial via ``adaptive_n_planes``
+    from ``n_rows`` when the caller already knows the corpus size (skipping
+    the count() job — at 100 TB that scalar costs a full scan), else from
+    one count() job. Pass an explicit ``n_planes`` only to pin a band
+    layout (e.g. to mirror a static oracle). ``n_tables=None`` derives the
+    compensating table count from (n_planes, threshold) via
+    ``adaptive_n_tables``, holding recall at the bar constant as banding
+    deepens with the corpus — the pair (P(n), L(P, bar)) is the shipped
+    auto-dial; the 16 default keeps pinned-layout callers unchanged.
 
     Scale accounting (10x rehearsal, 2k -> 20k clustered vectors at the
     0.8 bar): wall grows ~12x but the TRUE OUTPUT grows 103x (10.7k ->
@@ -289,7 +342,9 @@ def lsh_neardup_pairs(
     pipelines, pipe3/dd6 consume these pairs into connected components,
     where a capped pair list collapses dense regions identically."""
     if n_planes is None:
-        n_planes = adaptive_n_planes(corpus.count())
+        n_planes = adaptive_n_planes(corpus.count() if n_rows is None else n_rows)
+    if n_tables is None:
+        n_tables = adaptive_n_tables(n_planes, threshold)
     ba = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "id1")
     if max_bucket is not None:
         ba = table_bucket_capped(ba, max_bucket)
@@ -425,7 +480,14 @@ def _ivf_query(
     vec_col: str,
 ) -> DataFrame:
     """Shared IVF query path: broadcast centroid shortlist → cluster-id
-    equi-join → prenorm cosine → per-probe top-k."""
+    equi-join → prenorm cosine → per-probe top-k.
+
+    The shortlist ranks on the squared distance ROUNDED TO 6 (cl as the
+    tie-break), matching the repo's round-6 idiom everywhere a float feeds
+    an ordering decision: last-ulp fold differences between engines (or
+    between Spark codegen variants) can otherwise flip near-tied cell
+    picks, and the rounding is what makes the query stage over a persisted
+    index value-oracle-checkable (sim6x) rather than rows-only."""
     p = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
@@ -443,7 +505,7 @@ def _ivf_query(
     wshort = Window.partitionBy("query_id").orderBy("d", "cl")
     shortlist = (
         p.crossJoin(F.broadcast(centers))
-        .withColumn("d", sq_dist)
+        .withColumn("d", F.round(sq_dist, 6))
         .withColumn("rn", F.row_number().over(wshort))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "query_vec", "qn", "cl")
@@ -482,12 +544,115 @@ def threshold_pairs(
     )
 
 
+def _argmax_cosine(rows: DataFrame, cands: DataFrame, key_col: str, pick_col: str) -> DataFrame:
+    """Broadcast nearest-candidate assignment: for each ``rows`` row
+    (key, vec), pick the ``cands`` row (pick, center) maximizing
+    round(cosine, 6), ties to the smallest pick id — reduced by a
+    map-side-combinable ``max(struct(cos, -pick, vec))`` so the vector
+    rides the struct without being compared. ``cands`` must be
+    broadcast-small. Returns (key, pick, vec)."""
+    return (
+        rows.crossJoin(F.broadcast(cands))
+        .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
+        .groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cos"),
+                    (-F.col(pick_col)).alias("__neg"),
+                    F.col("vec").alias("__vec"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            key_col,
+            (-F.col("__m.__neg")).alias(pick_col),
+            F.col("__m.__vec").alias("vec"),
+        )
+    )
+
+
+def two_level_assign(
+    corpus: DataFrame,
+    cent: DataFrame,
+    n_super: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level nearest-centroid assignment — the production path past the
+    measured n·k wall (round-8 rehearsal: 500k vectors × 1000 centroids is
+    5×10⁸ broadcast cosines; a single pass did not complete in 16.5 min).
+
+    Level 1 hash-samples ``n_super`` ≈ √k SUPER-centroids from ``cent``
+    (same md5-order pick as the centroid sample itself — deterministic,
+    ANSI-SQL-expressible, no stored model); every centroid and every corpus
+    vector is assigned to its nearest super by rounded cosine. Level 2
+    scores each vector against only the centroids sharing its super-cell —
+    a broadcast equi-join on ``sid`` with average fan-out k/√k = √k. Total
+    work is ~2·n·√k cosines instead of n·k: 16× fewer at k = 1000, growing
+    as √k. The same trick recurses if √k itself outgrows a broadcast
+    (≫10⁵ supers ⇒ three levels), which is IVF-HNSW territory no 100 TB
+    corpus under the k ≈ n/500 rule reaches before ~10¹⁰ vectors.
+
+    The assignment is APPROXIMATE where flat argmax is exact: a vector
+    whose true nearest centroid sits in a different super-cell than the
+    vector's nearest super gets its best IN-CELL centroid instead — the
+    standard coarse-quantizer recall trade every two-level IVF makes. Cell
+    membership shifts only for vectors near super-cell boundaries; the
+    min-id retention rule downstream is unchanged. Ties broken identically
+    to the flat path (cos desc, id asc) so the whole pipeline stays
+    oracle-expressible (dd5b checks it end to end at fixture scale).
+
+    Returns (vid, cid, vec): exactly one row per corpus vector — every
+    super-cell contains at least its own super-centroid (self-cosine 1 is
+    the argmax), so the level-2 join can never drop a vector."""
+    sup = (
+        cent.select(
+            F.col("cid").alias("sid"),
+            F.md5(F.col("cid").cast("string")).alias("__h"),
+            F.col("center"),
+        )
+        .orderBy("__h", "sid")
+        .limit(n_super)
+        .drop("__h")
+    )
+    c2s = _argmax_cosine(
+        cent.select("cid", F.col("center").alias("vec")), sup, "cid", "sid"
+    ).select("sid", "cid", F.col("vec").alias("center"))
+    v2s = _argmax_cosine(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+        sup,
+        "vid",
+        "sid",
+    )
+    return (
+        v2s.join(F.broadcast(c2s), "sid")
+        .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
+        .groupBy("vid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cos"),
+                    (-F.col("cid")).alias("__neg"),
+                    F.col("vec").alias("__vec"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            "vid",
+            (-F.col("__m.__neg")).alias("cid"),
+            F.col("__m.__vec").alias("vec"),
+        )
+    )
+
+
 def centroid_semantic_dedup(
     corpus: DataFrame,
     n_centroids: int = 8,
     threshold: float = 0.30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: str = "auto",
 ) -> DataFrame:
     """IVF-style semantic dedup: a deterministic coarse quantizer partitions
     the corpus; within each cell, a doc SURVIVES iff no smaller-id doc in the
@@ -519,12 +684,22 @@ def centroid_semantic_dedup(
       ReuseExchange/AQE stage reuse computes once;
     * pair volume is Σ|cell|² — with FIXED k that is still n²/k, so at scale
       ``n_centroids`` must grow with the corpus (k ≈ n / target_cell_size
-      keeps pair volume ≈ n · cell_size, i.e. LINEAR at constant cell size;
-      the centroid set stays broadcastable up to ~10⁵ centroids, and beyond
-      that the assignment becomes a two-level quantizer). Residual skewed
-      cells get salted or size-capped (dd4's playbook). The fixtures use
-      k=8 so the DuckDB oracle stays cheap; the knob is the scale dial.
+      keeps pair volume ≈ n · cell_size, i.e. LINEAR at constant cell size).
+      Residual skewed cells get salted or size-capped (dd4's playbook). The
+      fixtures use k=8 so the DuckDB oracle stays cheap; the knob is the
+      scale dial.
+
+    ``assignment`` picks the quantizer-assignment strategy: ``"flat"`` is
+    the exact n·k broadcast argmax; ``"two_level"`` routes through
+    ``two_level_assign`` (~2·n·√k work, approximate near super-cell
+    boundaries); ``"auto"`` (default) switches to two-level at
+    k >= 200 — under the k ≈ n/500 sizing rule that is n ≈ 10⁵, the
+    crossover the round-8 rehearsal measured (flat at 500k×1000 did not
+    complete in 16.5 min; see BENCH_LOCAL.md round-8/round-9 tables). The
+    threshold is on k, not n, so no count() job is spent deciding.
     """
+    if assignment not in ("auto", "flat", "two_level"):
+        raise ValueError(f"unknown assignment strategy: {assignment!r}")
     cent = (
         corpus.select(
             F.col(id_col).alias("cid"),
@@ -535,28 +710,21 @@ def centroid_semantic_dedup(
         .limit(n_centroids)
         .drop("__h")
     )
-    cells = (
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
-        .groupBy("vid")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__cos"),
-                    (-F.col("cid")).alias("__negcid"),
-                    F.col("vec").alias("__vec"),
-                )
-            ).alias("__m")
-        )
-        .select(
+    if assignment == "auto":
+        assignment = "two_level" if n_centroids >= 200 else "flat"
+    if assignment == "two_level":
+        n_super = max(2, math.isqrt(max(n_centroids - 1, 0)) + 1)  # ceil(sqrt k)
+        assigned = two_level_assign(corpus, cent, n_super, id_col, vec_col)
+    else:
+        assigned = _argmax_cosine(
+            corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+            cent,
             "vid",
-            (-F.col("__m.__negcid")).alias("cid"),
-            F.col("__m.__vec").alias("vec"),
-            norm(as_double(F.col("__m.__vec"))).alias("nrm"),
+            "cid",
         )
-        .repartition("cid")
-    )
+    cells = assigned.select(
+        "vid", "cid", "vec", norm(as_double(F.col("vec"))).alias("nrm")
+    ).repartition("cid")
     sizes = cells.groupBy("cid").agg(F.count("*").alias("n_assigned"))
     a = cells.select(
         "cid", F.col("vid").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1")
@@ -644,11 +812,17 @@ def quantized_topk(
     division with engine-dependent ordering downstream. Cosine is undefined
     for the zero vector, so such rows are excluded from BOTH corpus and
     probes (oracle callers mirror the same ``nn > 0`` exclusion). The
-    exclusion predicate is the equivalent RAW-vector test
-    ``exists(v, y -> y != 0)`` applied BEFORE the quantization projection:
-    q_nn > 0 iff the quantized vector is nonzero iff the raw vector has any
-    nonzero element, and the raw form is a cheap short-circuiting scan
-    predicate instead of a second full quantization pass per row.
+    exclusion is two layers: the RAW-vector test ``exists(v, y -> y != 0)``
+    applied BEFORE the quantization projection (for FINITE inputs,
+    q_nn > 0 iff the raw vector has any nonzero element — a cheap
+    short-circuiting scan predicate that skips quantizing rows that
+    cannot survive), plus an ``nn > 0`` guard on the already-computed
+    quantized self-dot. The post-guard is what makes non-finite vectors
+    safe: a NaN/Infinity element passes the raw nonzero test but drives
+    the quantization scale to NaN/null, so the vector quantizes to
+    all-zeros (nn = 0), which would reintroduce the null-qcos
+    engine-dependent-ordering hazard; the guard costs one comparison on a
+    column the plan already carries (round-9 advice).
     """
     self_dot = "aggregate(transform({c}, x -> cast(x as bigint) * x), 0L, (acc, v) -> acc + v)"
     nonzero = f"exists({vec_col}, y -> cast(y as double) != 0.0D)"
@@ -656,11 +830,13 @@ def quantized_topk(
         probes.filter(F.expr(nonzero))
         .select(F.col(id_col).alias("query_id"), int8_quantized(vec_col, "q_qv"))
         .withColumn("q_nn", F.expr(self_dot.format(c="q_qv")))
+        .filter(F.col("q_nn") > 0)
     )
     c = (
         corpus.filter(F.expr(nonzero))
         .select(F.col(id_col).alias("neighbor_id"), int8_quantized(vec_col, "c_qv"))
         .withColumn("c_nn", F.expr(self_dot.format(c="c_qv")))
+        .filter(F.col("c_nn") > 0)
     )
     scored = (
         c.crossJoin(F.broadcast(p))

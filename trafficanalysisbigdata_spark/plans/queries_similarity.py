@@ -9,6 +9,9 @@ give an approximate index.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -289,6 +292,76 @@ def dd5_semantic_centroid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd5b_two_level_semantic_dedup",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS center
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+    sup AS (
+      SELECT cid AS sid, center AS sctr
+      FROM cent ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT 8),
+    c2s AS (
+      SELECT cid, sid, center FROM (
+        SELECT c.cid, s.sid, c.center,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                 ORDER BY ROUND(list_cosine_similarity(c.center, s.sctr), 6)
+                          DESC, s.sid) AS rn
+        FROM cent c CROSS JOIN sup s) t
+      WHERE rn = 1),
+    v2s AS (
+      SELECT vid, sid, vec FROM (
+        SELECT e.vec_id AS vid, s.sid, CAST(e.embedding AS DOUBLE[]) AS vec,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), s.sctr), 6)
+                          DESC, s.sid) AS rn
+        FROM embeddings e CROSS JOIN sup s) t
+      WHERE rn = 1),
+    cells AS (
+      SELECT vid, cid, vec FROM (
+        SELECT v.vid, c.cid, v.vec,
+               ROW_NUMBER() OVER (PARTITION BY v.vid
+                 ORDER BY ROUND(list_cosine_similarity(v.vec, c.center), 6)
+                          DESC, c.cid) AS rn
+        FROM v2s v JOIN c2s c ON v.sid = c.sid) t
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.cid, b.vid AS id2
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vid < b.vid
+      WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.30),
+    dupes AS (SELECT cid, COUNT(DISTINCT id2) AS nd FROM pairs GROUP BY cid),
+    sizes AS (SELECT cid, COUNT(*) AS n_assigned FROM cells GROUP BY cid)
+    SELECT s.cid, s.n_assigned,
+           s.n_assigned - COALESCE(d.nd, 0) AS n_survivors,
+           COALESCE(d.nd, 0) AS n_dupes
+    FROM sizes s LEFT JOIN dupes d ON d.cid = s.cid
+    ORDER BY s.cid
+    """,
+    tags=("similarity", "dedup", "embedding", "ivf", "two-level"),
+    tables=("embeddings",),
+)
+def dd5b_two_level_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd5 through the PRODUCTION two-level quantizer assignment
+    (``operators/similarity.two_level_assign``): ~√k super-centroids are
+    hash-sampled FROM the centroid sample, every vector routes to its
+    nearest super, then argmax-scores only the centroids in that
+    super-cell — ~2·n·√k cosines instead of the flat path's n·k, the fix
+    for the round-8-measured wall where 500k×1000 flat assignment did not
+    complete (BENCH_LOCAL.md). ``centroid_semantic_dedup`` switches to
+    this path automatically at k >= 200 (n ≈ 10⁵ under k ≈ n/500); this
+    query pins ``assignment="two_level"`` at fixture scale (k=64, s=8) so
+    the DuckDB oracle value-checks every stage of the production path —
+    super pick, centroid→super routing, two-hop vector assignment, min-id
+    collapse — not just the flat twin dd5 mirrors."""
+    return centroid_semantic_dedup(
+        spark.table("embeddings"),
+        n_centroids=64,
+        threshold=0.30,
+        assignment="two_level",
+    )
+
+
+@register(
     "sim7_int8_quantized_topk",
     oracle="""
     WITH qe AS (
@@ -497,3 +570,139 @@ def sim9_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_stage_rerank_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist_factor=4
     )
+
+
+# --- sim5x/sim6x: the k-means IVF stages, driver-VALUE-checked ---------------
+# The mlx5/mlx6 persist pattern applied to the similarity index: the KMeans
+# FIT itself has no ANSI twin (the reason sim5/sim6 are rows-only), but the
+# fitted index IS a parquet artifact, and everything downstream of it —
+# cell membership, the distance shortlist, the in-cell cosine re-rank —
+# is deterministic and SQL-expressible. Persist the index ONCE under a
+# STATIC path (stamp-cached on the source parquet), then register the
+# consuming stages whose oracles read the SAME artifact. Only the raw fit
+# remains range-gated (tests/test_similarity.py recall bars).
+_KIVF_DIR = os.path.join(tempfile.gettempdir(), "spark_graft_kivf")
+
+
+def _ensure_kivf_index(spark: SparkSession, sf_dir: str) -> None:
+    """Stamp-cached build of the PRODUCTION k-means index
+    (``build_ivf_index``: seed-pinned fit + partitioned-by-cl assignments +
+    centroids) at the static oracle-readable path. Gated on the
+    last-written artifact (centroids/_SUCCESS) plus a source stamp so a
+    torn build or a regenerated fixture rebuilds instead of serving stale
+    cells — the sim6/mlx5 gating rules combined."""
+    import os
+
+    from ..operators.similarity import build_ivf_index
+    from .queries_mlx import _source_stamp
+
+    stamp = "kivf|" + _source_stamp(sf_dir, "embeddings")
+    stamp_path = os.path.join(_KIVF_DIR, "_STAMP")
+    complete = os.path.exists(
+        os.path.join(_KIVF_DIR, "centroids", "_SUCCESS")
+    ) and os.path.exists(os.path.join(_KIVF_DIR, "assignments", "_SUCCESS"))
+    if complete and os.path.exists(stamp_path):
+        try:
+            with open(stamp_path) as f:
+                if f.read() == stamp:
+                    return
+        except OSError:
+            pass
+    build_ivf_index(spark.table("embeddings"), _KIVF_DIR, n_clusters=16)
+    with open(stamp_path, "w") as f:
+        f.write(stamp)
+
+
+@register(
+    "sim5x_kmeans_cell_profile",
+    oracle=f"""
+    SELECT CAST(cl AS INT) AS cl,
+           COUNT(*) AS n_assigned,
+           CAST(SUM(neighbor_id) AS BIGINT) AS id_sum,
+           ROUND(CAST(SUM(CAST(cn AS DECIMAL(18,6))) AS DOUBLE), 6) AS cn_sum
+    FROM read_parquet('{_KIVF_DIR}/assignments/*/*.parquet',
+                      hive_partitioning = 1)
+    GROUP BY cl ORDER BY cl
+    """,
+    tags=("similarity", "ivf", "kmeans", "persisted", "mlx-pattern"),
+    tables=("embeddings",),
+)
+def sim5x_kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means assignment ARTIFACT, driver-value-checked: the fitted
+    index persists once (seed-pinned KMeans, production ``build_ivf_index``
+    layout), and BOTH engines profile the same assignments parquet —
+    per-cell row count, exact id checksum, and a decimal-exact norm sum. A
+    drift in cell membership, a torn partition write, or a norm
+    recomputation bug desyncs the hash; only the fit's internal math stays
+    range-gated. Scale posture: one partial/final agg over the partitioned
+    index — the same layout a 100 TB corpus queries through DPP (sim6)."""
+    _ensure_kivf_index(spark, sf_dir)
+    a = spark.read.parquet(f"{_KIVF_DIR}/assignments")
+    return (
+        a.groupBy(F.col("cl").cast("int").alias("cl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum("neighbor_id").alias("id_sum"),
+            F.round(
+                F.sum(F.col("cn").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("cn_sum"),
+        )
+        .orderBy("cl")
+    )
+
+
+@register(
+    "sim6x_kmeans_query_stage",
+    oracle=f"""
+    WITH cent AS (
+      SELECT CAST(cl AS INT) AS cl, center
+      FROM read_parquet('{_KIVF_DIR}/centroids/*.parquet')
+    ), cells AS (
+      SELECT neighbor_id, CAST(vec AS DOUBLE[]) AS vec, CAST(cl AS INT) AS cl
+      FROM read_parquet('{_KIVF_DIR}/assignments/*/*.parquet',
+                        hive_partitioning = 1)
+    ), short AS (
+      SELECT query_id, cl FROM (
+        SELECT p.vec_id AS query_id, c.cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(range(0, 64),
+                            i -> (CAST(p.embedding[i + 1] AS DOUBLE) - c.center[i + 1])
+                               * (CAST(p.embedding[i + 1] AS DOUBLE) - c.center[i + 1]))),
+                          6) ASC, c.cl) AS srn
+        FROM embeddings p CROSS JOIN cent c
+        WHERE p.vec_id < 10) t
+      WHERE srn <= 6
+    ), scored AS (
+      SELECT s.query_id, m.neighbor_id,
+             ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), m.vec), 6)
+               AS cos
+      FROM short s
+      JOIN cells m ON m.cl = s.cl AND m.neighbor_id <> s.query_id
+      JOIN embeddings p ON p.vec_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+    tags=("similarity", "ivf", "kmeans", "persisted", "mlx-pattern"),
+    tables=("embeddings",),
+)
+def sim6x_kmeans_query_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim6's QUERY stage over the persisted k-means index,
+    driver-value-checked end to end: given the fitted centroids + cell
+    assignments (the artifact sim5x pins), the distance shortlist
+    (round-6 squared L2, cl tie-break — `_ivf_query`'s production
+    ordering), the probed-cells-only candidate join, and the cosine top-5
+    are all re-derived relationally by the oracle from the SAME artifact.
+    Together with sim5x this closes the last two rows-only non-ML registry
+    entries down to the KMeans fit itself (range-gated recall in
+    tests/test_similarity.py). The Spark side is the exact production read
+    path (``ivf_topk_indexed``), dynamic-partition-pruned on cl."""
+    from ..operators.similarity import ivf_topk_indexed
+
+    _ensure_kivf_index(spark, sf_dir)
+    probes = spark.table("embeddings").filter(F.col("vec_id") < 10)
+    return ivf_topk_indexed(spark, _KIVF_DIR, probes, k=5, n_probe=6)
