@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "sql15_order_count_distribution",
     "sql16_dominant_part_suppliers",
     "sql17_waiting_suppliers",
+    # round-9 additions
+    "dd5b_two_level_semantic_dedup",
+    "sql18_forecast_revenue",
+    "sql20_product_type_profit",
+    "sql23_min_cost_supplier",
 ]
 
 

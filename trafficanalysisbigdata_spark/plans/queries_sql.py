@@ -487,3 +487,188 @@ register_sql(
     "l_suppkey <> conjunct rides the join condition. Deterministic top-20 "
     "via the unique s_name tie-break.",
 )
+
+register_sql(
+    "sql18_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("sql", "agg", "tpch"),
+    tables=("lineitem",),
+    doc="TPC-H Q6 via spark.sql — the pure scan-filter-aggregate shape: "
+    "every predicate pushes into the parquet scan (range on l_shipdate, "
+    "band on l_discount, bound on l_quantity), then one partial/final agg "
+    "of a decimal product — the simplest query in the suite and the "
+    "sharpest pushdown check: any filter left above the scan is 100x the "
+    "I/O at 100 TB. Double literals compare bit-identically on both "
+    "engines (same parquet doubles, same IEEE literals); the summed "
+    "product is decimal-exact.",
+)
+
+register_sql(
+    "sql19_late_shipment_priority",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL '60' DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sql", "join", "pivot", "tpch"),
+    tables=("orders", "lineitem"),
+    doc="TPC-H Q12 shape via spark.sql, adapted to the fixture schema "
+    "(no l_shipmode/l_commitdate/l_receiptdate: l_returnflag stands in "
+    "for the shipmode grouping and ship-more-than-60-days-after-order "
+    "for receipt-after-commit lateness). The shape under test is the "
+    "fact-fact equi-join carrying a non-equi date conjunct plus the "
+    "two-way conditional-aggregation pivot; the ship-year range pushes "
+    "to the lineitem scan, the interval comparison rides the join.",
+)
+
+register_sql(
+    "sql20_product_type_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount_dec) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+               - CAST(0.6 AS DECIMAL(2,1))
+                 * CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(8,2)) AS amount_dec
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("sql", "join", "agg", "tpch"),
+    tables=("lineitem", "part", "supplier", "nation", "orders"),
+    doc="TPC-H Q9 shape via spark.sql (no partsupp/ps_supplycost in the "
+    "fixture: cost is modeled as 60% of p_retailprice per unit, which "
+    "preserves the shape — a five-relation join tree with a LIKE-filtered "
+    "part dim, per-(nation, order-year) profit rollup). Catalyst "
+    "broadcasts part/supplier/nation, shuffles the two fact joins on "
+    "their keys, and pushes the LIKE into the part scan; the profit "
+    "expression stays decimal end to end (max precision 23 < DuckDB's 38 "
+    "SUM cap).",
+)
+
+register_sql(
+    "sql21_important_part_values",
+    """
+    WITH partvals AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(8,2))
+                 * CAST(p.p_retailprice AS DECIMAL(12,2))) AS value_dec
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM partvals
+    WHERE CAST(value_dec AS DOUBLE) >
+          2.0 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM partvals)
+              / (SELECT COUNT(*) FROM partvals)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    tags=("sql", "subquery", "scalar-agg", "tpch"),
+    tables=("lineitem", "part", "supplier", "nation"),
+    doc="TPC-H Q11 shape via spark.sql (no partsupp: per-part inventory "
+    "value is modeled as shipped quantity x retail price for suppliers of "
+    "one nation). The shape under test: one grouped CTE consumed THREE "
+    "times — as the row source and inside two uncorrelated scalar "
+    "aggregate subqueries setting the importance threshold. Catalyst "
+    "evaluates each scalar subquery once (one-row broadcasts) rather than "
+    "per row. The threshold is 2x the MEAN part value rather than Q11's "
+    "fixed fraction of the total: per-part lineitem fan-out is "
+    "SF-invariant in the fixtures, so a mean-relative bar keeps a stable "
+    "~9% qualifying tail at every SF where a fixed share-of-total empties "
+    "as the part count grows. The compared doubles derive from exact "
+    "decimal sums, so the cut is engine-identical.",
+)
+
+register_sql(
+    "sql22_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 1000)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("sql", "distinct-agg", "anti", "tpch"),
+    tables=("part", "lineitem", "supplier"),
+    doc="TPC-H Q16 shape via spark.sql (no partsupp: lineitem's "
+    "(l_partkey, l_suppkey) pairs are the part-supplier relation; "
+    "low-balance suppliers stand in for the complaints exclusion). The "
+    "shape: a NOT IN over a non-null key column (Catalyst plans a left "
+    "anti join — null-safe machinery elided because s_suppkey is "
+    "provably non-null), a multi-filtered dim join, and COUNT(DISTINCT) "
+    "per group (planned as the two-phase distinct-expand aggregate). "
+    "Fully deterministic ordering via the complete grouping key.",
+)
+
+register_sql(
+    "sql23_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(MIN(l_extendedprice / l_quantity), 6) AS unit_cost
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, p.p_type, ps.unit_cost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 25 AND p.p_type = 'SMALL' AND r.r_name = 'ASIA'
+      AND ps.unit_cost = (SELECT MIN(ps2.unit_cost)
+                          FROM ps ps2
+                          JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                          WHERE ps2.l_partkey = p.p_partkey
+                            AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 10
+    """,
+    tags=("sql", "subquery", "correlated-min", "tpch"),
+    tables=("lineitem", "part", "supplier", "nation", "region"),
+    doc="TPC-H Q2 shape via spark.sql (no partsupp: the per-(part, "
+    "supplier) minimum observed unit price from lineitem is the supply "
+    "cost). The last of the 22 TPC-H planner shapes in the suite: a "
+    "correlated scalar MIN subquery over the same join tree as the outer "
+    "query (part-correlated, region-filtered) — Catalyst decorrelates it "
+    "into a per-part min aggregate joined back on p_partkey, reusing the "
+    "CTE; dims broadcast, the ps relation shuffles once on l_partkey. "
+    "ROUND(...,6) on the unit cost makes the MIN-equality engine-exact; "
+    "top-10 is fully tie-broken.",
+)
