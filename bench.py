@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "sql18_forecast_revenue",
     "sql20_product_type_profit",
     "sql23_min_cost_supplier",
+    "tx13_pii_redaction",
+    "tx14_context_chunks",
+    "w11_sessionize_gap30",
 ]
 
 

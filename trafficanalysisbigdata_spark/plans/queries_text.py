@@ -593,3 +593,138 @@ def tx12_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     ).orderBy("lang")
+
+
+# PII patterns kept to constructs whose semantics are identical in Java
+# regex (Spark) and RE2 (DuckDB): literal character classes and bounded
+# repetition only — no \d/\w shorthand, no backtracking-dependent forms.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "tx13_pii_redaction",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.net or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+      FROM documents
+    ), r AS (
+      SELECT source, full_text,
+             len(regexp_extract_all(full_text, '{_EMAIL_RE}', 0)) AS n_email,
+             len(regexp_extract_all(full_text, '{_PHONE_RE}', 0)) AS n_phone,
+             regexp_replace(regexp_replace(full_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+           CAST(SUM(len(full_text) - len(redacted)) AS BIGINT) AS chars_removed,
+           CAST(SUM(len(redacted)) AS BIGINT) AS redacted_chars
+    FROM r GROUP BY source ORDER BY source
+    """,
+    tags=("text", "pii", "pipeline"),
+    tables=("documents",),
+)
+def tx13_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction gate every pretraining pipeline runs
+    before anything else touches the text. The fixture corpus is synthetic
+    word salad with no real PII, so BOTH engines first append a
+    deterministic contact block derived from doc_id (the mm11 pattern:
+    the oracle re-derives the planted payload from raw table values, so
+    the redaction logic itself is what the value-hash checks), then count
+    and strip email/phone matches.
+
+    Scale posture: per-row regex work is pure Catalyst (whole-stage
+    codegen, no UDF); the only shuffle is the final partial-aggregated
+    groupBy(source). Regex cost is linear in corpus bytes — the shape a
+    1000-executor scrub of 100 TB needs, with counts surviving as the
+    audit artifact."""
+    docs = spark.table("documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".net or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.select("source", full.alias("full_text"))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("full_text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    r = d.select(
+        "source",
+        "full_text",
+        F.size(F.regexp_extract_all(F.col("full_text"), F.lit(_EMAIL_RE), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("full_text"), F.lit(_PHONE_RE), F.lit(0))).alias("n_phone"),
+        red.alias("redacted"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("total_emails"),
+            F.sum("n_phone").cast("bigint").alias("total_phones"),
+            F.sum(F.length("full_text") - F.length("redacted"))
+            .cast("bigint")
+            .alias("chars_removed"),
+            F.sum(F.length("redacted")).cast("bigint").alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "tx14_context_chunks",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks, UNNEST(range(0, len(toks), 24)) AS start FROM d
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, start + 1, start + 32), ' '))
+             AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "chunking", "pipeline"),
+    tables=("documents",),
+)
+def tx14_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window context chunking (size 32, stride 24 —
+    25% overlap): the long-document path of a context-window pipeline,
+    complementary to pipe6's concat-then-chunk packing (which destroys
+    document boundaries; this preserves them and duplicates the overlap
+    instead). Every chunk is value-checked by md5 of its joined tokens,
+    so the oracle pins exact chunk CONTENT, not just counts.
+
+    Scale posture: narrow explode — zero shuffles end to end (the ORDER BY
+    is presentation-only at the sink); output rows ≈ n_tokens/stride per
+    doc, linear in corpus size. Token arrays never cross an exchange; the
+    md5 collapses each chunk to 32 bytes before anything is returned."""
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", toks.alias("toks"))
+    c = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(24))).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, 32)
+    return c.select(
+        "doc_id",
+        (F.col("start") / 24).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

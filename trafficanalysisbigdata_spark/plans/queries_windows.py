@@ -392,3 +392,97 @@ def w10_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@register(
+    "w11_sessionize_gap30",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+      FROM events
+    ), g AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ), per AS (
+      SELECT user_id, session_id, COUNT(*) AS n_ev,
+             MAX(us) - MIN(us) AS span_us
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(n_ev) AS DOUBLE) / COUNT(*), 6)
+             AS avg_events_per_session,
+           ROUND(CAST(SUM(span_us) AS DOUBLE) / 1000000.0, 3)
+             AS total_active_s
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("window", "sessionize", "composition"),
+    tables=("events",),
+)
+def w11_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-based session assignment (a new session
+    starts after >30 min of per-user silence) via the classic
+    lag -> boundary-flag -> running-sum composition, then per-user session
+    stats. The batch twin of the streaming session windows (st-family);
+    training-data pipelines use the same shape to segment interaction logs
+    into conversations.
+
+    Cross-engine discipline: the gap compare and span arithmetic run on
+    INTEGER microseconds measured from a fixed NAIVE epoch (timestampdiff /
+    date_diff on TIMESTAMP_NTZ — no timezone touches the session boundary
+    decision); the two ROUND'd doubles at the end are computed from
+    identical exact integers on both engines.
+
+    Scale posture: ONE shuffle on user_id serves both window passes and
+    the session aggregation (same partitioning key, Catalyst reuses the
+    exchange); state per user is the sort the window already pays. No
+    driver action, no explode — the 100 TB shape for log segmentation."""
+    from pyspark.sql.window import Window
+
+    e = spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    g = e.withColumn(
+        "new_s",
+        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+    )
+    s = g.select(
+        "user_id",
+        "us",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+            F.round(F.sum("n_ev").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_events_per_session"
+            ),
+            F.round(F.sum("span_us").cast("double") / 1_000_000.0, 3).alias(
+                "total_active_s"
+            ),
+        )
+        .orderBy("user_id")
+    )
