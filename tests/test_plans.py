@@ -290,3 +290,33 @@ def test_sql17_exists_pair_becomes_semi_plus_anti(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sql17_waiting_suppliers")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_w11_single_user_exchange_reused(spark, sf_dir):
+    """w11: both window passes and the session groupBy key on user_id, so
+    the plan must contain exactly ONE hashpartitioning(user_id) exchange —
+    a second one means Catalyst stopped reusing the partitioning and the
+    sessionization pays double shuffle at 100 TB."""
+    plan = _plan(spark, sf_dir, "w11_sessionize_gap30")
+    user_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, plan
+
+
+def test_tx14_no_shuffle_before_sort(spark, sf_dir):
+    """tx14: chunking is a narrow explode — the only exchange allowed is
+    the presentation ORDER BY's rangepartitioning; a hashpartitioning
+    exchange would mean token arrays started crossing the network."""
+    plan = _plan(spark, sf_dir, "tx14_context_chunks")
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_tx13_regex_stays_in_codegen(spark, sf_dir):
+    """tx13: the regex scrub must run inside whole-stage codegen (no UDF,
+    no CodegenFallback stage) and aggregate partial+final on source."""
+    plan = _plan(spark, sf_dir, "tx13_pii_redaction")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2, plan

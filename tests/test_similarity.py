@@ -544,3 +544,37 @@ def test_lsh_n_rows_skips_count_job(spark, monkeypatch):
     assert t.columns == ["query_id", "neighbor_id", "cos"]
     assert p.columns == ["id1", "id2", "cos"]
     assert adaptive_n_planes(50_000) == 8
+
+
+def test_sim4_scoring_joins_broadcast_when_size_known(spark):
+    """When the corpus size is known and under the 512 MB vector budget,
+    lsh_neardup_pairs must hint BOTH vector-attach joins to broadcast —
+    the unhinted sort-merge plan widens every candidate pair by a vector
+    and sorts it, the measured 500k-vector single-node disk wall."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (F.pmod(F.col("id") * i, F.lit(97)) / 97.0).cast("float"),
+        ).alias("embedding"),
+    )
+    plan = (
+        lsh_neardup_pairs(emb, 0.8, n_tables=4, dim=16, n_rows=2000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    # past the budget the hint must NOT engage (a terabyte broadcast would
+    # kill every executor); the plan is Catalyst's choice there
+    plan_big = (
+        lsh_neardup_pairs(emb, 0.8, n_tables=4, dim=16, n_rows=50_000_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan_big  # shape is size-dependent; building it must not throw

@@ -340,9 +340,25 @@ def lsh_neardup_pairs(
     cap=1024 keeps recall 0.96 and cuts wall ~3x; cap=512 is 2x faster
     again but recall 0.62 on this cluster-dense corpus. For dedup
     pipelines, pipe3/dd6 consume these pairs into connected components,
-    where a capped pair list collapses dense regions identically."""
+    where a capped pair list collapses dense regions identically.
+
+    Scoring-join strategy: when the corpus size is KNOWN (``n_rows``, or
+    the count this function spent anyway) and the prenormed vector frame
+    fits a generous broadcast budget (512 MB — e.g. ~900k rows at 64-d),
+    both vector-attach joins carry an explicit broadcast hint, so pair
+    scoring is MAP-SIDE over the streaming candidate set. Without the
+    hint, Catalyst picks sort-merge past the 10 MB auto threshold and the
+    second join SORTS pairs already widened by one 8·dim-byte vector —
+    measured at 500k×35-table scale that intermediate is ~10⁸ MB of
+    UnsafeExternalSorter spill, which is a single-node disk wall and a
+    pointless triple shuffle on a cluster. Past the broadcast budget
+    (≥ ~10⁶ vectors) the right consumer is a collapse (dd5/sim8), not a
+    materialized pair list; the unhinted plan remains correct there."""
+    n_known = n_rows
     if n_planes is None:
-        n_planes = adaptive_n_planes(corpus.count() if n_rows is None else n_rows)
+        if n_known is None:
+            n_known = corpus.count()
+        n_planes = adaptive_n_planes(n_known)
     if n_tables is None:
         n_tables = adaptive_n_tables(n_planes, threshold)
     ba = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "id1")
@@ -362,6 +378,9 @@ def lsh_neardup_pairs(
         F.col(vec_col).alias("v"),
         norm(as_double(F.col(vec_col))).alias("n"),
     )
+    # ~(8·dim + 48) bytes per prenormed row; 512 MB broadcast budget
+    if n_known is not None and n_known * (dim * 8 + 48) <= 512 * 1024 * 1024:
+        v = F.broadcast(v)
     return (
         cand.join(v.withColumnsRenamed({"vid": "id1", "v": "v1", "n": "n1"}), "id1")
         .join(v.withColumnsRenamed({"vid": "id2", "v": "v2", "n": "n2"}), "id2")

@@ -696,3 +696,84 @@ def pipe9_source_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipe10_curriculum_order",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents
+    ), h AS (
+      SELECT nt, COUNT(*) AS c FROM d GROUP BY nt
+    ), cum AS (
+      SELECT nt, SUM(c) OVER (ORDER BY nt ROWS UNBOUNDED PRECEDING) AS cc,
+             (SELECT SUM(c) FROM h) AS n
+      FROM h
+    ), t AS (
+      SELECT MIN(CASE WHEN cc >= CEIL(0.25 * n) THEN nt END) AS t1,
+             MIN(CASE WHEN cc >= CEIL(0.50 * n) THEN nt END) AS t2,
+             MIN(CASE WHEN cc >= CEIL(0.75 * n) THEN nt END) AS t3
+      FROM cum
+    )
+    SELECT d.doc_id,
+           CAST(1 + (d.nt > t.t1)::INT + (d.nt > t.t2)::INT + (d.nt > t.t3)::INT
+                AS INT) AS phase,
+           substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS shuffle_key,
+           CAST(d.nt AS INT) AS n_tokens
+    FROM d, t
+    ORDER BY phase, shuffle_key, doc_id
+    """,
+    tags=("pipeline", "curriculum", "sampling"),
+    tables=("documents",),
+)
+def pipe10_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: emit the corpus in training order — quartile
+    length phases (short -> long, the classic length curriculum), shuffled
+    WITHIN each phase by a deterministic md5 key so every epoch replay and
+    every engine produces the identical sequence.
+
+    The phase boundaries are NOT ntile() — a global ntile needs a global
+    row sort through one partition. Instead: aggregate the token-count
+    histogram (bounded by distinct document lengths, tiny), take exact
+    quartile cutoffs from its cumulative counts with one window over that
+    tiny frame, and broadcast the 1-row threshold frame back onto the
+    corpus — the olap9 pattern. Same exact quartile semantics (ties share
+    a phase), 100 TB-safe.
+
+    Scale posture: one map-side-combined groupBy over distinct lengths;
+    the threshold window runs over ~|distinct lengths| rows; the corpus
+    itself is scan -> broadcast-join(1 row) -> project, and the final
+    (phase, shuffle_key) ordering is a write-time range sort, never a
+    single-partition window."""
+    from pyspark.sql.window import Window
+
+    docs = spark.table("documents")
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("nt")
+    )
+    h = d.groupBy("nt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("nt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "nt",
+        F.sum("c").over(wcum).alias("cc"),
+    ).crossJoin(F.broadcast(h.agg(F.sum("c").alias("n"))))
+    t = cum.agg(
+        F.min(F.when(F.col("cc") >= F.ceil(0.25 * F.col("n")), F.col("nt"))).alias("t1"),
+        F.min(F.when(F.col("cc") >= F.ceil(0.50 * F.col("n")), F.col("nt"))).alias("t2"),
+        F.min(F.when(F.col("cc") >= F.ceil(0.75 * F.col("n")), F.col("nt"))).alias("t3"),
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "doc_id",
+            (
+                F.lit(1)
+                + (F.col("nt") > F.col("t1")).cast("int")
+                + (F.col("nt") > F.col("t2")).cast("int")
+                + (F.col("nt") > F.col("t3")).cast("int")
+            ).cast("int").alias("phase"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("shuffle_key"),
+            F.col("nt").cast("int").alias("n_tokens"),
+        )
+        .orderBy("phase", "shuffle_key", "doc_id")
+    )
