@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     "tx13_pii_redaction",
     "tx14_context_chunks",
     "w11_sessionize_gap30",
+    # round-10 additions
+    "j10_fuzzy_customer_match",
+    "olap11_window_funnel",
+    "w12_hourly_grid_interpolate",
 ]
 
 

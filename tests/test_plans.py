@@ -320,3 +320,31 @@ def test_tx13_regex_stays_in_codegen(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tx13_pii_redaction")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_j10_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
+    """j10: the ED-1 match must be the FastSS blocked equi-join — no
+    cartesian, no broadcast nested loop; levenshtein runs post-join on
+    candidates only (SortMergeJoin/ShuffledHashJoin on the key hash)."""
+    plan = _plan(spark, sf_dir, "j10_fuzzy_customer_match")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_olap11_funnel_uses_semi_joins(spark, sf_dir):
+    """olap11: exists-semantics must lower to semi joins (two levels), not
+    inner joins that would materialize chain enumerations."""
+    plan = _plan(spark, sf_dir, "olap11_window_funnel")
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_w12_windows_partition_by_series(spark, sf_dir):
+    """w12: both anchor windows must be PARTITION BY event_type — a global
+    ORDER BY window over the grid would single-thread the fill at scale."""
+    plan = _plan(spark, sf_dir, "w12_hourly_grid_interpolate")
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start(): plan.find("\n", m.start())]
+        assert "event_type" in seg, seg

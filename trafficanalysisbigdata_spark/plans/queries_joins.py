@@ -352,3 +352,63 @@ def j9_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "j10_fuzzy_customer_match",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.c_custkey AS id1, b.c_custkey AS id2
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 1
+    ), bucketed AS (
+      SELECT LENGTH(CAST(id2 - id1 AS VARCHAR)) - 1 AS digit_pos, id1, id2
+      FROM pairs
+    )
+    SELECT digit_pos,
+           COUNT(*) AS n_pairs,
+           (SELECT COUNT(DISTINCT cid) FROM (
+              SELECT id1 AS cid FROM bucketed i WHERE i.digit_pos = o.digit_pos
+              UNION SELECT id2 FROM bucketed i2 WHERE i2.digit_pos = o.digit_pos))
+             AS n_customers
+    FROM bucketed o GROUP BY digit_pos ORDER BY digit_pos
+    """,
+    tags=("join", "fuzzy", "entity_resolution"),
+    tables=("customer",),
+)
+def j10_fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 entity matching on ``c_name`` via FastSS
+    deletion-neighborhood blocking (operators/fuzzy.py) — the fuzzy join the
+    reference's pandas pipeline would do with an O(n²) `apply`, re-expressed
+    as an equi-join: each name is indexed under its L+1 single-deletion
+    keys, candidates come from a hash self-join on the xxhash64 of the key,
+    and `levenshtein` verifies only candidates. The oracle cross-joins with
+    DuckDB's levenshtein — exhaustive ground truth at test SF, which is
+    exactly what the blocked plan must reproduce.
+
+    Zero-padded numeric names make the RESULT structurally checkable too:
+    an ED-1 pair differs in exactly one decimal digit, so |id1−id2| is
+    d·10^p and the digit position p = len(str(diff))−1 buckets the pairs.
+
+    Scale: keys/row = L+1 (string length, not corpus); bucket sizes are
+    true neighborhood sizes (≤10 here — one per substituted digit); verify
+    cost is |candidates|. At 100 TB the only added dial is ``max_bucket``
+    for degenerate keys (blank/default names shared by millions of rows).
+    """
+    from ..operators.fuzzy import ed1_pairs
+
+    pairs = ed1_pairs(spark.table("customer"), "c_custkey", "c_name").select(
+        (F.length((F.col("id2") - F.col("id1")).cast("string")) - 1).alias("digit_pos"),
+        "id1",
+        "id2",
+    )
+    per_pos = pairs.groupBy("digit_pos").agg(F.count(F.lit(1)).alias("n_pairs"))
+    members = (
+        pairs.select("digit_pos", F.col("id1").alias("cid"))
+        .union(pairs.select("digit_pos", F.col("id2").alias("cid")))
+        .distinct()
+        .groupBy("digit_pos")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return per_pos.join(members, "digit_pos").orderBy("digit_pos")

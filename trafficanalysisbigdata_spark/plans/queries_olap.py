@@ -701,6 +701,15 @@ def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev_dec"))
     )
+    # The bounds action below and the main DAG both consume g; persisting
+    # the REDUCED catalog (parts-sized, not lineitem-sized) makes the fact
+    # scan + rollup run once instead of twice — measured 2.2 s → ~1.3 s at
+    # sf0.1 (round-10; the r7→r8 1.4→2.0 s drift was this second pass).
+    # CacheManager dedups by canonical plan, so repeated calls don't stack
+    # copies; MEMORY_AND_DISK because a billion-part catalog may spill.
+    from pyspark import StorageLevel
+
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
     # Phase 0: range bounds as literals (1-row driver action, ~RangePartitioner).
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     # `or []` guards the empty-catalog edge: percentile_approx over zero
@@ -862,4 +871,90 @@ def olap10_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").cast("bigint").alias("user_id_sum"),
         )
         .orderBy("attr")
+    )
+
+
+@register(
+    "olap11_window_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    qc AS (
+      SELECT DISTINCT c.user_id, c.ts FROM c
+      WHERE EXISTS (SELECT 1 FROM v
+                    WHERE v.user_id = c.user_id
+                      AND v.ts < c.ts
+                      AND c.ts <= v.ts + INTERVAL 4 HOUR)
+    ), l1 AS (SELECT DISTINCT user_id FROM v),
+    l2 AS (SELECT DISTINCT user_id FROM qc),
+    l3 AS (
+      SELECT DISTINCT qc.user_id FROM qc
+      WHERE EXISTS (SELECT 1 FROM p
+                    WHERE p.user_id = qc.user_id
+                      AND p.ts > qc.ts
+                      AND p.ts <= qc.ts + INTERVAL 4 HOUR)
+    )
+    SELECT (SELECT COUNT(*) FROM l1) AS n_level1,
+           (SELECT COUNT(*) FROM l2) AS n_level2,
+           (SELECT COUNT(*) FROM l3) AS n_level3,
+           ROUND((SELECT COUNT(*) FROM l2) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM l1), 0), 6) AS conv_1_2,
+           ROUND((SELECT COUNT(*) FROM l3) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM l2), 0), 6) AS conv_2_3
+    """,
+    tags=("olap", "funnel", "sequence"),
+    tables=("events",),
+)
+def olap11_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel (ordered sequence match with a per-step
+    timeout), the strict upgrade of olap6's first-occurrence funnel: a user
+    reaches level 2 if ANY view→click chain has 0 < gap ≤ 4h, and level 3
+    if any such click is followed by a purchase within 4h — chains olap6
+    misses when the FIRST view dies but a later one converts.
+
+    Exists-semantics keeps every step a SEMI join (no chain enumeration,
+    no pair materialization): qualified clicks = clicks with a view in
+    (ts−4h, ts), semi-joined again against purchases. Both joins are
+    equi on user_id with a band predicate — the shuffle key is user_id,
+    per-user work is bounded by per-user event counts (the ops1 skew
+    profile is the watchdog for pathological users; a per-user event cap
+    or salting is the dial if one user holds millions of events).
+    """
+    e = spark.table("events")
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    four_h = F.expr("INTERVAL 4 HOURS")
+    qc = c.alias("c").join(
+        v.alias("v"),
+        (F.col("v.user_id") == F.col("c.user_id"))
+        & (F.col("v.ts") < F.col("c.ts"))
+        & (F.col("c.ts") <= F.col("v.ts") + four_h),
+        "left_semi",
+    )
+    l3 = qc.alias("qc").join(
+        p.alias("p"),
+        (F.col("p.user_id") == F.col("qc.user_id"))
+        & (F.col("p.ts") > F.col("qc.ts"))
+        & (F.col("p.ts") <= F.col("qc.ts") + four_h),
+        "left_semi",
+    )
+    n1 = v.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_level1"))
+    n2 = qc.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_level2"))
+    n3 = l3.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_level3"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_level1",
+            "n_level2",
+            "n_level3",
+            F.round(F.col("n_level2") / F.nullif(F.col("n_level1"), F.lit(0)), 6).alias(
+                "conv_1_2"
+            ),
+            F.round(F.col("n_level3") / F.nullif(F.col("n_level2"), F.lit(0)), 6).alias(
+                "conv_2_3"
+            ),
+        )
     )

@@ -486,3 +486,139 @@ def w11_sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w12_hourly_grid_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT event_type, UNNEST(GENERATE_SERIES(h0, h1)) AS h FROM bounds
+    ), gapped AS (
+      SELECT g.event_type, g.h,
+             CASE WHEN substr(md5(g.event_type || ':' || CAST(g.h AS VARCHAR)), 1, 1)
+                       < 'a' THEN NULL ELSE hr.total END AS observed
+      FROM grid g LEFT JOIN hourly hr
+        ON hr.event_type = g.event_type AND hr.h = g.h
+    ), anchored AS (
+      SELECT event_type, h, observed,
+             LAST_VALUE(observed IGNORE NULLS) OVER wp AS prev_v,
+             LAST_VALUE(CASE WHEN observed IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wp AS prev_h,
+             FIRST_VALUE(observed IGNORE NULLS) OVER wf AS next_v,
+             FIRST_VALUE(CASE WHEN observed IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wf AS next_h
+      FROM gapped
+      WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h, ROUND(observed, 6) AS observed,
+           ROUND(CASE
+             WHEN observed IS NOT NULL THEN observed
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v) * (h - prev_h) * 1.0 / (next_h - prev_h)
+             ELSE COALESCE(prev_v, next_v) END, 6) AS filled
+    FROM anchored ORDER BY event_type, h
+    """,
+    tags=("window", "timeseries", "interpolate"),
+    tables=("events",),
+)
+def w12_hourly_grid_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling + linear interpolation — the telemetry op w8
+    (forward fill) stops short of: the hourly grid is GENERATED (sequence +
+    explode per series, so missing hours become real rows, not just NULL
+    values), each gap is filled by the line between its bracketing
+    observations, and series edges fall back to nearest-anchor. The md5
+    gate nulls a deterministic ~60% of hours so the fixtures exercise real
+    multi-hour gaps on both engines identically.
+
+    The bracketing anchors come from two IGNORE NULLS window passes per
+    series (running last non-null forward, first non-null backward) — no
+    self-join, no per-gap search. Windows are PARTITION BY event_type: at
+    100 TB the per-series sort is the standard time-series layout (series
+    id × time), never a global ORDER BY over the fact table. Grid rows per
+    series = span/hour — generated, not shuffled from facts; a year is
+    8.8k rows per series regardless of fact volume.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.numeric import dec
+
+    hourly = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("total"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    gapped = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.when(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_type"), F.col("h").cast("string"))),
+                1,
+                1,
+            )
+            < "a",
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.col("total"))
+        .alias("observed"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("observed").isNotNull(), F.col("h"))
+    anchored = gapped.select(
+        "event_type",
+        "h",
+        "observed",
+        F.last("observed", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("observed", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    interp = (
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (F.col("h") - F.col("prev_h"))
+        / (F.col("next_h") - F.col("prev_h"))
+    )
+    return anchored.select(
+        "event_type",
+        "h",
+        F.round("observed", 6).alias("observed"),
+        F.round(
+            F.when(F.col("observed").isNotNull(), F.col("observed"))
+            .when(
+                F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp
+            )
+            .otherwise(F.coalesce("prev_v", "next_v")),
+            6,
+        ).alias("filled"),
+    ).orderBy("event_type", "h")
