@@ -321,7 +321,7 @@ def run_100x_lsh_mode(spark) -> None:
             # derivation must not spend a count() scan (the shipped API for
             # callers with table stats — round-8 verdict item)
             "sim3_lsh_topk": lambda: sim.lsh_topk(
-                emb, probes, k=5, n_tables=16, dim=DIM, n_rows=n_vecs
+                emb, probes, k=5, n_tables=None, dim=DIM, n_rows=n_vecs
             ),
             # n_tables=None: the SHIPPED auto-dial pair (P from the corpus,
             # L from (P, bar)) — pinning L=16 with the old P cap 8 is what
@@ -369,7 +369,7 @@ def run_100x_lsh_mode(spark) -> None:
                 truth.setdefault(r.query_id, set()).add(r.neighbor_id)
             approx: dict[int, set] = {}
             for r in sim.lsh_topk(
-                emb, probes, k=5, n_tables=16, dim=DIM, n_rows=n_vecs
+                emb, probes, k=5, n_tables=None, dim=DIM, n_rows=n_vecs
             ).collect():
                 approx.setdefault(r.query_id, set()).add(r.neighbor_id)
             overlaps = [

@@ -540,10 +540,28 @@ def test_lsh_n_rows_skips_count_job(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", _boom)
     t = lsh_topk(df, df.limit(2), k=3, n_tables=4, dim=4, n_rows=50_000)
     p = lsh_neardup_pairs(df, 0.9, n_tables=4, dim=4, n_rows=50_000)
+    # the fully-auto dial pair (P and L both None) must also build
+    # count-free off n_rows, and pinned-layout callers never pay a count
+    t2 = lsh_topk(df, df.limit(2), k=3, n_tables=None, dim=4, n_rows=50_000)
+    t3 = lsh_topk(df, df.limit(2), k=3, n_tables=8, n_planes=4, dim=4)
     # plans build without an action; the dial matches the explicit rule
     assert t.columns == ["query_id", "neighbor_id", "cos"]
+    assert t2.columns == t.columns and t3.columns == t.columns
     assert p.columns == ["id1", "id2", "cos"]
     assert adaptive_n_planes(50_000) == 8
+
+
+def test_adaptive_n_tables_topk_steps():
+    """The occupancy-compensation L dial: steps at the measured decade
+    boundaries (BENCH_LOCAL.md round 10: 0.868→0.952→0.988 recall@5)."""
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        adaptive_n_tables_topk,
+    )
+
+    assert adaptive_n_tables_topk(50_000) == 16
+    assert adaptive_n_tables_topk(100_000) == 16
+    assert adaptive_n_tables_topk(500_000) == 24
+    assert adaptive_n_tables_topk(5_000_000) == 32
 
 
 def test_sim4_scoring_joins_broadcast_when_size_known(spark):

@@ -163,7 +163,7 @@ def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int,
-    n_tables: int = 16,
+    n_tables: int | None = 16,
     n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -177,9 +177,18 @@ def lsh_topk(
     ``n_rows`` when the caller already knows the corpus size (ingest
     pipelines and table stats do — at 100 TB an extra count() is a full
     scan before any real work starts), else from one count() job; pass an
-    explicit ``n_planes`` to pin a band layout against a static oracle."""
-    if n_planes is None:
-        n_planes = adaptive_n_planes(corpus.count() if n_rows is None else n_rows)
+    explicit ``n_planes`` to pin a band layout against a static oracle.
+    ``n_tables=None`` engages ``adaptive_n_tables_topk`` — the L step-up
+    that compensates bucket occupancy once P saturates at its cap (the
+    16 default keeps pinned-layout callers unchanged)."""
+    if n_planes is None or n_tables is None:
+        # one count at most, and only when no dial was pinned and the
+        # caller didn't supply n_rows (pinned-layout callers never pay it)
+        n_known = corpus.count() if n_rows is None else n_rows
+        if n_planes is None:
+            n_planes = adaptive_n_planes(n_known)
+        if n_tables is None:
+            n_tables = adaptive_n_tables_topk(n_known)
     cb = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "neighbor_id")
     pb = _exploded_buckets(probes, n_tables, n_planes, dim, id_col, vec_col, "query_id")
     cand = (
@@ -269,6 +278,25 @@ def adaptive_n_planes(
     if n <= target_bucket:
         return floor
     return max(floor, min(cap, int(math.log2(n / target_bucket))))
+
+
+def adaptive_n_tables_topk(n: int) -> int:
+    """The L dial for the TOP-K path, where no similarity bar exists to
+    solve ``adaptive_n_tables``'s collision equation against: once
+    ``adaptive_n_planes`` saturates at its recall-preserving cap (P=8 at
+    n ≥ 32k), per-bucket occupancy grows ~n/2^P again and OR-amplification
+    at L=16 stops clearing 0.9 recall. Measured at 500k vectors
+    (BENCH_LOCAL.md round 10): L=16 → recall@5 0.868, L=24 → 0.952 at the
+    SAME wall (candidate fetch is probes × bucket, and buckets shrink as L
+    spreads them), L=32 → 0.988 at 1.4× wall. Steps are decade-based
+    because occupancy is linear in n past the P cap; recall is a
+    query-time knob — no index rebuild, no count() when the caller passes
+    ``n_rows``."""
+    if n <= 100_000:
+        return 16
+    if n <= 1_000_000:
+        return 24
+    return 32
 
 
 def adaptive_n_tables(
