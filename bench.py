@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "j10_fuzzy_customer_match",
     "olap11_window_funnel",
     "w12_hourly_grid_interpolate",
+    "a17_weighted_median",
+    "olap12_snapshot_diff",
 ]
 
 

@@ -348,3 +348,24 @@ def test_w12_windows_partition_by_series(spark, sf_dir):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start(): plan.find("\n", m.start())]
         assert "event_type" in seg, seg
+
+
+def test_a17_window_over_reduced_catalog(spark, sf_dir):
+    """a17: the cumulative-weight windows must run over the (flag, price)
+    pre-aggregation, never the raw fact rows — the plan needs a
+    partial/final HashAggregate BELOW the Window, and every Window must
+    carry the flag in its partition spec."""
+    plan = _plan(spark, sf_dir, "a17_weighted_median")
+    assert plan.index("HashAggregate") < plan.index("Window"), plan
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start(): plan.find("\n", m.start())]
+        assert "l_returnflag" in seg, seg
+
+
+def test_olap12_single_full_outer_no_cartesian(spark, sf_dir):
+    """olap12: the diff is ONE full-outer equi-join of two aggregates."""
+    plan = _plan(spark, sf_dir, "olap12_snapshot_diff")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan

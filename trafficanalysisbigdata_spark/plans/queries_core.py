@@ -578,3 +578,71 @@ def a16_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mode.join(med, "event_type").orderBy("event_type")
+
+
+@register(
+    "a17_weighted_median",
+    oracle="""
+    WITH pp AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, price, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM pp
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cw * 2 >= tw THEN price END) AS DOUBLE)
+             AS w_median,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "weighted", "quantile"),
+    tables=("lineitem",),
+)
+def a17_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (price weighted by quantity) per return flag —
+    the inventory/pricing aggregate a15's t-digest only approximates, and
+    one Spark has no built-in for. The lower weighted median: smallest
+    price whose cumulative weight reaches half the group total; ``cw*2 >=
+    tw`` keeps the comparison in exact decimal (a double half-total could
+    flap the crossing row between engines).
+
+    Scale discipline (olap9's): the window runs over the catalog REDUCED to
+    one row per (flag, price) — a partial/final groupBy first, so the
+    few-groups window sorts distinct-value rows, not the fact table. At a
+    catalog too large per group, the same two-phase value-bucket prefix-sum
+    olap9 ships applies unchanged (bucket by price range, per-bucket
+    cumsums, ledger offsets)."""
+    from pyspark.sql import Window
+
+    pp = (
+        spark.table("lineitem")
+        .groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w"))
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = pp.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price")))
+            .cast("double")
+            .alias("w_median"),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -403,12 +403,18 @@ def j10_fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1",
         "id2",
     )
-    per_pos = pairs.groupBy("digit_pos").agg(F.count(F.lit(1)).alias("n_pairs"))
-    members = (
-        pairs.select("digit_pos", F.col("id1").alias("cid"))
-        .union(pairs.select("digit_pos", F.col("id2").alias("cid")))
-        .distinct()
-        .groupBy("digit_pos")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+    # Each pair contributes exactly two member rows, so one explode feeds
+    # BOTH stats in a single pass over the candidate pipeline (a separate
+    # union/distinct branch would recompute the whole blocked join twice —
+    # measured 4.3 s vs 2.x s at sf0.1).
+    members = pairs.select(
+        "digit_pos", F.explode(F.array("id1", "id2")).alias("cid")
     )
-    return per_pos.join(members, "digit_pos").orderBy("digit_pos")
+    return (
+        members.groupBy("digit_pos")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("cid").alias("n_customers"),
+        )
+        .orderBy("digit_pos")
+    )

@@ -958,3 +958,80 @@ def olap11_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "olap12_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events WHERE ts < TIMESTAMP '2024-01-11' GROUP BY user_id
+    ), v2 AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events WHERE ts >= TIMESTAMP '2024-01-04' GROUP BY user_id
+    ), d AS (
+      SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+             CASE WHEN v1.user_id IS NULL THEN 'added'
+                  WHEN v2.user_id IS NULL THEN 'removed'
+                  WHEN v1.total = v2.total THEN 'unchanged'
+                  ELSE 'changed' END AS change_class,
+             ABS(COALESCE(v2.total, 0) - COALESCE(v1.total, 0)) AS delta
+      FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    )
+    SELECT change_class,
+           COUNT(*) AS n_keys,
+           CAST(SUM(delta) AS DOUBLE) AS total_abs_delta,
+           CAST(MIN(user_id) AS BIGINT) AS min_key,
+           CAST(SUM(user_id) AS BIGINT) AS key_sum
+    FROM d GROUP BY change_class ORDER BY change_class
+    """,
+    tags=("olap", "diff", "cdc"),
+    tables=("events",),
+)
+def olap12_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot table diff — the CDC/data-ops audit that
+    validates an incremental pipeline against a rebuild: two keyed
+    aggregates (here per-user totals over two overlapping time windows,
+    standing in for 'yesterday's table vs today's'), full-outer joined and
+    classified added / removed / changed / unchanged, reported as per-class
+    key counts and decimal-exact absolute drift.
+
+    Scale posture: each snapshot is a partial/final agg; the diff is ONE
+    full-outer shuffle on the key (j8's shape). Equality checks compare
+    DECIMAL totals — a double rebuild would misclassify order-dependent
+    last-ulp differences as 'changed', which is exactly the false alarm
+    this audit exists to never raise. At 100 TB the snapshots are
+    persisted tables and the diff is the same single co-partitioned join."""
+    e = spark.table("events")
+
+    def snap(pred):
+        return (
+            e.filter(pred)
+            .groupBy("user_id")
+            .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("total"))
+        )
+
+    v1 = snap(F.col("ts") < F.lit("2024-01-11").cast("timestamp")).alias("v1")
+    v2 = snap(F.col("ts") >= F.lit("2024-01-04").cast("timestamp")).alias("v2")
+    d = v1.join(v2, F.col("v1.user_id") == F.col("v2.user_id"), "full_outer").select(
+        F.coalesce(F.col("v1.user_id"), F.col("v2.user_id")).alias("user_id"),
+        F.when(F.col("v1.user_id").isNull(), "added")
+        .when(F.col("v2.user_id").isNull(), "removed")
+        .when(F.col("v1.total") == F.col("v2.total"), "unchanged")
+        .otherwise("changed")
+        .alias("change_class"),
+        F.abs(
+            F.coalesce(F.col("v2.total"), F.lit(0).cast("decimal(18,6)"))
+            - F.coalesce(F.col("v1.total"), F.lit(0).cast("decimal(18,6)"))
+        ).alias("delta"),
+    )
+    return (
+        d.groupBy("change_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("delta").cast("double").alias("total_abs_delta"),
+            F.min("user_id").cast("bigint").alias("min_key"),
+            F.sum("user_id").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("change_class")
+    )
