@@ -1013,6 +1013,46 @@ def run_streaming_mode(spark) -> None:
         print(f"streaming_{tag}: " + json.dumps(result))
 
 
+def run_fuzzy_mode(spark) -> None:
+    """Scale points for the FastSS ED-1 matcher (operators/fuzzy.py, j10's
+    engine): zero-padded numeric names like the customer fixture, where the
+    true pair set is exactly the one-digit-substitution neighborhoods, so
+    expected output is ~n x digits x 9 / 2 in-range pairs — linear in n.
+    Receipts: wall per decade plus pairs-out (the linearity check) and the
+    blocked plan's candidate discipline (no cross join by construction)."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators.fuzzy import ed1_pairs
+
+    out: dict[str, dict] = {}
+    for tag, n in {"10x": 50_000, "100x": 500_000}.items():
+        names = spark.range(n).select(
+            F.col("id"),
+            F.format_string("Customer#%09d", F.col("id")).alias("name"),
+        )
+        def run():
+            return (
+                ed1_pairs(names, "id", "name")
+                .agg(
+                    F.count(F.lit(1)).alias("pairs"),
+                    F.sum("dist").alias("dist_sum"),
+                )
+            )
+
+        run().write.format("noop").mode("overwrite").save()  # warm
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run().write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 2))
+        pairs = run().collect()[0]["pairs"]
+        out[tag] = {"wall_s": min(ts), "pairs_out": pairs,
+                    "us_per_pair": round(min(ts) * 1e6 / max(1, pairs), 2)}
+        print(f"  fuzzy {tag}: {ts} -> {json.dumps(out[tag])}", file=sys.stderr, flush=True)
+    out["ratio_100x_vs_10x"] = round(out["100x"]["wall_s"] / out["10x"]["wall_s"], 2)
+    print(json.dumps({"mode": "fuzzy", "results": out}))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -1049,6 +1089,9 @@ def main() -> None:
         return
     if wanted == ["st11deep"]:
         run_st11_deep_mode(spark)
+        return
+    if wanted == ["fuzzy"]:
+        run_fuzzy_mode(spark)
         return
     for tag in wanted:
         n = all_sizes[tag]
