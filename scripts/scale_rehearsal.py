@@ -1053,6 +1053,60 @@ def run_fuzzy_mode(spark) -> None:
     print(json.dumps({"mode": "fuzzy", "results": out}))
 
 
+def run_ivf500k_mode(spark) -> None:
+    """The production-IVF lifecycle at the 500k point dd5's wall was
+    measured at: build the persisted hash-IVF index at k = n/500 = 1000
+    cells (assignment auto-routes through the two-level quantizer — the
+    build-time twin of dd5's fix, since a flat build is the same n*k
+    cross join that DNF'd in round 8), then probe with the index already
+    on disk. Receipts: build wall (amortized, once), probe wall per
+    n_probe, and recall@5 vs exact brute force — the numbers a 100 TB
+    embedding-store operator actually provisions against."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators import similarity as sim
+
+    ep = f"{BASE}/emb_dist_100x"
+    if not os.path.exists(f"{ep}/_SUCCESS"):
+        gen_embeddings_dist(spark, 500_000, ep)
+    emb = spark.read.parquet(ep)
+    probes = emb.filter(F.col("vec_id") < 50)
+    idx = f"{BASE}/hivf_500k_k1000"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    sim.build_hash_ivf_index(emb, idx, n_clusters=1000)  # auto -> two_level
+    build_s = round(time.perf_counter() - t0, 2)
+    print(f"  ivf500k build (k=1000, two-level): {build_s}s", file=sys.stderr, flush=True)
+
+    truth = {}
+    for r in sim.brute_force_topk(emb, probes, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    out = {"build_s": build_s}
+    for n_probe in (4, 8, 16):
+        fn = lambda: sim.hash_ivf_topk_indexed(spark, idx, probes, k=5, n_probe=n_probe)
+        fn().write.format("noop").mode("overwrite").save()
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 2))
+        approx = {}
+        for r in fn().collect():
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rec = [len(truth[q] & approx.get(q, set())) / max(1, len(truth[q]))
+               for q in truth if truth[q]]
+        out[f"probe{n_probe}"] = {
+            "wall_s": min(ts),
+            "recall_at_5": round(sum(rec) / len(rec), 3),
+        }
+        print(f"  ivf500k n_probe={n_probe}: {ts} -> {json.dumps(out[f'probe{n_probe}'])}",
+              file=sys.stderr, flush=True)
+    print(json.dumps({"mode": "ivf500k", "results": out}))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -1092,6 +1146,9 @@ def main() -> None:
         return
     if wanted == ["fuzzy"]:
         run_fuzzy_mode(spark)
+        return
+    if wanted == ["ivf500k"]:
+        run_ivf500k_mode(spark)
         return
     for tag in wanted:
         n = all_sizes[tag]

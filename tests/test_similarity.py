@@ -596,3 +596,49 @@ def test_sim4_scoring_joins_broadcast_when_size_known(spark):
         .toString()
     )
     assert plan_big  # shape is size-dependent; building it must not throw
+
+
+def test_hash_ivf_two_level_build(spark, tmp_path):
+    """build_hash_ivf_index(assignment='two_level') must produce a complete
+    index (one assignment row per vector — the level-2 join can never drop
+    one) whose probe results stay close to the flat build's: cell
+    membership may differ only near super-cell boundaries, so top-k overlap
+    against the flat index stays high on a clustered corpus."""
+    import numpy as np
+
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        build_hash_ivf_index,
+        hash_ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(7)
+    protos = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(300):
+        v = protos[i % 4] + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    flat_dir, two_dir = str(tmp_path / "flat"), str(tmp_path / "two")
+    build_hash_ivf_index(df, flat_dir, n_clusters=16, assignment="flat")
+    build_hash_ivf_index(df, two_dir, n_clusters=16, assignment="two_level")
+
+    a2 = spark.read.parquet(f"{two_dir}/assignments")
+    assert a2.count() == 300
+    assert a2.select("neighbor_id").distinct().count() == 300
+
+    probes = df.filter("vec_id < 12")
+    def topk(d):
+        out = {}
+        for r in hash_ivf_topk_indexed(spark, d, probes, k=5, n_probe=4).collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    ref, two = topk(flat_dir), topk(two_dir)
+    overlaps = [len(ref[q] & two.get(q, set())) / len(ref[q]) for q in ref]
+    assert sum(overlaps) / len(overlaps) >= 0.8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assignment"):
+        build_hash_ivf_index(df, str(tmp_path / "x"), assignment="bogus")

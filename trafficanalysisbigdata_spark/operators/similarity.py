@@ -1002,6 +1002,7 @@ def build_hash_ivf_index(
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: str = "auto",
 ) -> None:
     """Persist a DETERMINISTIC IVF index: same layout and query path as
     ``build_ivf_index`` (assignments partitioned by ``cl`` + centroids
@@ -1012,31 +1013,59 @@ def build_hash_ivf_index(
     production systems run exactly this trade as 'random-projection vs
     learned coarse quantizer'.
 
-    Assignment is a broadcast cross join (corpus × k tiny centroids)
-    reduced by a map-side-combinable max(struct(cos, -cl, vec)) — dd5's
-    argmax shape; rounded-6 cosine keeps the cell decision engine-exact."""
+    ``assignment``: ``"flat"`` is the broadcast cross join (corpus × k tiny
+    centroids) reduced by a map-side-combinable max(struct(cos, -cl, vec))
+    — dd5's argmax shape, rounded-6 cosine so the cell decision is
+    engine-exact; ``"two_level"`` routes through ``two_level_assign``
+    (~2·n·√k work) — the build-time twin of dd5's round-9 fix, because at
+    production k ≈ n/500 the flat build hits the SAME measured n·k wall
+    the round-8 rehearsal recorded (500k×1000 DNF at 16.5 min);
+    ``"auto"`` (default) switches to two-level at k ≥ 200, matching
+    ``centroid_semantic_dedup``. The oracle-registered sim8 query builds at
+    k = 16 and therefore always takes the flat, bit-exactly-mirrored path;
+    two-level cells differ only near super-cell boundaries (the standard
+    coarse-quantizer trade) and the probe path is identical either way."""
+    if assignment not in ("auto", "flat", "two_level"):
+        raise ValueError(f"assignment must be auto|flat|two_level, got {assignment!r}")
+    if assignment == "auto":
+        assignment = "two_level" if n_clusters >= 200 else "flat"
     centers = hash_sampled_centroids(corpus, n_clusters, id_col, vec_col)
-    assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(centers))
-        .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__cos"),
-                    (-F.col("cl")).alias("__negcl"),
-                    F.col("vec").alias("__vec"),
-                )
-            ).alias("m")
+    if assignment == "two_level":
+        n_super = max(2, math.isqrt(max(n_clusters - 1, 0)) + 1)  # ceil(sqrt k)
+        assigned = two_level_assign(
+            corpus,
+            centers.select(F.col("cl").alias("cid"), "center"),
+            n_super,
+            id_col,
+            vec_col,
+        ).select(
+            F.col("vid").alias("neighbor_id"),
+            "vec",
+            norm(as_double(F.col("vec"))).alias("cn"),
+            F.col("cid").cast("int").alias("cl"),
         )
-        .select(
-            "neighbor_id",
-            F.col("m.__vec").alias("vec"),
-            norm(as_double(F.col("m.__vec"))).alias("cn"),
-            (-F.col("m.__negcl")).cast("int").alias("cl"),
+    else:
+        assigned = (
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+            .crossJoin(F.broadcast(centers))
+            .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
+            .groupBy("neighbor_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__cos"),
+                        (-F.col("cl")).alias("__negcl"),
+                        F.col("vec").alias("__vec"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "neighbor_id",
+                F.col("m.__vec").alias("vec"),
+                norm(as_double(F.col("m.__vec"))).alias("cn"),
+                (-F.col("m.__negcl")).cast("int").alias("cl"),
+            )
         )
-    )
     assigned.write.mode("overwrite").partitionBy("cl").parquet(f"{index_dir}/assignments")
     centers.write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
