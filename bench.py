@@ -16,6 +16,11 @@ Each query is forced end-to-end with the noop sink (full physical execution,
 zero serialization-to-driver cost), after a warmup action that absorbs JVM /
 codegen startup. All diagnostic chatter goes to stderr; stdout carries only
 the JSON line so the driver's parser always finds it.
+
+``calib_s`` is the median wall of a fixed synthetic workload (64M-row range
+→ xxhash64 → 64-group agg, pinned 32 partitions, no file I/O) run once per
+pass. It moves only with host load, so round-over-round comparisons should
+quote ratios normalized by calib_s instead of raw walls.
 """
 
 from __future__ import annotations
@@ -192,7 +197,28 @@ def main() -> None:
     warm = specs["a1_totals_by_event_type"].run(spark, SF_DIR)
     warm.write.format("noop").mode("overwrite").save()
 
+    from trafficanalysisbigdata_spark.plans.registry import release_caches
+
+    def calibrate() -> float:
+        """Fixed synthetic workload (pinned partitioning, no file I/O, no
+        query code) timed once per pass. Its wall time moves only with host
+        load / CPU contention, so cross-round comparisons can normalize by
+        the calib_s ratio instead of arguing drift from per-query anecdotes
+        (round-10 verdict item #4)."""
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 64_000_000, 1, 32)
+            .selectExpr("xxhash64(id) AS h", "pmod(xxhash64(id), 64) AS g")
+            .groupBy("g")  # 64 groups, fixed 32-partition shuffle
+            .agg({"h": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    calib_samples: list[float] = []
     bench_t0 = time.perf_counter()
     iters_run = 0
     for it in range(ITERS):
@@ -203,6 +229,7 @@ def main() -> None:
             )
             break
         iters_run = it + 1
+        calib_samples.append(calibrate())
         for name in BENCH_QUERIES:
             spec = specs.get(name)
             if spec is None:
@@ -218,6 +245,10 @@ def main() -> None:
                 # reported only when no pass ever succeeded (samples empty).
                 print(f"bench: {name} FAILED (pass {it + 1}): {e}", file=sys.stderr)
                 continue
+            finally:
+                # Queries that persist intermediates (olap9) hand the cache
+                # to the harness; release so passes don't pin memory/disk.
+                release_caches()
             samples[name].append(time.perf_counter() - t0)
 
     times = {
@@ -239,6 +270,11 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "iters": iters_run,
+                "calib_s": (
+                    round(statistics.median(calib_samples), 3)
+                    if calib_samples
+                    else -1.0
+                ),
             }
         )
     )

@@ -366,6 +366,38 @@ def test_auto_decode_tiers():
     assert auto_decode(no_plte) == fake_decode(no_plte)
 
 
+def test_auto_decode_pillow_tier_narrowed(monkeypatch):
+    """The pillow tier catches exactly PIL's decode failures
+    (UnidentifiedImageError / OSError / ValueError) — a corrupt JPEG falls
+    to the fake tier — while non-decode exceptions propagate instead of
+    being swallowed (round-10 verdict item #5). Pillow is absent in this
+    container, so the tier is engaged by monkeypatching the probe and the
+    decoder with PIL's documented failure modes."""
+    import pytest
+
+    from trafficanalysisbigdata_spark.operators import multimodal as mm
+
+    corrupt_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16  # JFIF magic, torn body
+
+    monkeypatch.setattr(mm, "_CODEC_PROBE", ["pillow"])
+    # PIL raises OSError("broken data stream ...") on a truncated JPEG and
+    # UnidentifiedImageError (an OSError subclass) on unknown magic.
+    for exc in (mm.UnidentifiedImageError("cannot identify"), OSError("broken"),
+                ValueError("bad mode")):
+        monkeypatch.setattr(
+            mm, "pillow_decode", lambda b, _e=exc: (_ for _ in ()).throw(_e)
+        )
+        assert mm.auto_decode(corrupt_jpeg) == mm.fake_decode(corrupt_jpeg)
+
+    # a genuine bug in the decode path must NOT be silently downgraded
+    monkeypatch.setattr(
+        mm, "pillow_decode",
+        lambda b: (_ for _ in ()).throw(RuntimeError("decoder bug")),
+    )
+    with pytest.raises(RuntimeError, match="decoder bug"):
+        mm.auto_decode(corrupt_jpeg)
+
+
 def test_mm11_empty_text_doc_oracle_parity(spark):
     """Empty/NULL-text documents: synthesize_png_media substitutes a single
     zero byte, and the mm11 oracle must mirror that fallback (hx '00',

@@ -356,7 +356,11 @@ def test_a17_window_over_reduced_catalog(spark, sf_dir):
     partial/final HashAggregate BELOW the Window, and every Window must
     carry the flag in its partition spec."""
     plan = _plan(spark, sf_dir, "a17_weighted_median")
-    assert plan.index("HashAggregate") < plan.index("Window"), plan
+    # Plan text prints root-first, so "a HashAggregate appears before the
+    # Window" is vacuous (the final groupBy is always above). The real
+    # invariant is a HashAggregate BELOW (printed after) the last Window:
+    # the reduction that feeds the window, not the one that consumes it.
+    assert plan.rindex("HashAggregate") > plan.rindex("Window"), plan
     import re
 
     for m in re.finditer(r"Window \[", plan):

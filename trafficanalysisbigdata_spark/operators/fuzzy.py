@@ -46,8 +46,14 @@ _ED1_KEYS = (
 
 
 def ed1_blocking_keys(str_col: str) -> F.Column:
-    """Column of the L+1 deletion-neighborhood keys for ``str_col``."""
-    return F.expr(_ED1_KEYS.format(c=str_col))
+    """Column of the L+1 deletion-neighborhood keys for ``str_col``.
+
+    The name is backtick-quoted before interpolation into the SQL
+    expression so non-bare identifiers (spaces, hyphens, reserved words)
+    resolve as column references instead of parsing as expression text.
+    """
+    quoted = "`{}`".format(str_col.replace("`", "``"))
+    return F.expr(_ED1_KEYS.format(c=quoted))
 
 
 def ed1_pairs(

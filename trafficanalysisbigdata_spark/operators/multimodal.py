@@ -39,6 +39,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+try:  # PIL's "bytes are not a known image format" signal; subclass of
+    # OSError in PIL, so the alias below keeps the except-clause exact
+    # when pillow is absent (the pillow tier never engages then anyway).
+    from PIL import UnidentifiedImageError
+except ImportError:
+    UnidentifiedImageError = OSError
+
 MEDIA_FEATURE_SCHEMA = (
     "media_id bigint, modality string, width int, height int, "
     "n_pixels bigint, luma double, fingerprint string"
@@ -287,8 +294,13 @@ def auto_decode(content: bytes) -> tuple[int, int, float]:
     if probe_codec() == "pillow":
         try:
             return pillow_decode(content)
-        except Exception:
-            # not a decodable image stream -> next tier
+        except (UnidentifiedImageError, OSError, ValueError, ZeroDivisionError):
+            # not a decodable image stream -> next tier. PIL signals this
+            # as UnidentifiedImageError (unknown signature), OSError
+            # (truncated/corrupt stream mid-decode), or ValueError (bad
+            # mode/size); ZeroDivisionError guards the luma mean on a
+            # pathological 0-pixel image. Anything else (MemoryError,
+            # KeyboardInterrupt, a bug in our code) must propagate.
             pass
     if content[: len(PNG_SIG)] == PNG_SIG:
         try:

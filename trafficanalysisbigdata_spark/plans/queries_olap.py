@@ -707,9 +707,14 @@ def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 (round-10; the r7→r8 1.4→2.0 s drift was this second pass).
     # CacheManager dedups by canonical plan, so repeated calls don't stack
     # copies; MEMORY_AND_DISK because a billion-part catalog may spill.
+    # Lifetime: the returned plan still reads g, so we can't unpersist here
+    # — track_cache hands ownership to the harness, which releases it after
+    # consuming the result (registry.release_caches).
     from pyspark import StorageLevel
 
-    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    from .registry import track_cache
+
+    g = track_cache(g.persist(StorageLevel.MEMORY_AND_DISK))
     # Phase 0: range bounds as literals (1-row driver action, ~RangePartitioner).
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     # `or []` guards the empty-catalog edge: percentile_approx over zero

@@ -30,6 +30,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, "QuerySpec"] = {}
 
+# DataFrames a query persisted to share work between its bounds action and
+# its returned plan (e.g. olap9's reduced catalog). They must outlive the
+# query function — the returned plan still reads them — so the query can't
+# unpersist; instead it registers them here and the harness (bench.py, the
+# verify sweep, test fixtures) releases them after consuming each result.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Record a persisted DataFrame for later release via release_caches()."""
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked cache; returns how many were released."""
+    n = len(_TRACKED_CACHES)
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
 # Modules that register queries on import (kept lazy so importing the package
 # root stays cheap).
 _QUERY_MODULES = (

