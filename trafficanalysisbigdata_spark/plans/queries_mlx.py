@@ -20,6 +20,10 @@ under the same driver-value-checked regime as the rest of the engine:
   pivot (M3) and residual metrics (M1) — whose oracles read the SAME
   artifact. This value-checks the evaluation arithmetic (pivot, MSE/MAE)
   bit-for-bit while leaving only the raw fit itself range-gated.
+* mlx7 — the same pattern for M2: the fitted model's featureImportances
+  persisted once as exact decimals, with the downstream ranking /
+  normalization (rank, share, cumulative share) value-checked on both
+  engines against that artifact.
 
 Scale posture: mlx1–mlx4 are single partial/final aggregations over one
 scan (the stats/threshold rows broadcast back, never a driver loop);
@@ -49,6 +53,7 @@ _EN = ", ".join(f"'{w}'" for w in EN_STOP)
 _MLX_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_mlx")
 _CONF_DIR = os.path.join(_MLX_ROOT, "volume_confusion")
 _RESID_DIR = os.path.join(_MLX_ROOT, "rf_residuals")
+_IMP_DIR = os.path.join(_MLX_ROOT, "rf_importances")
 
 
 def _source_stamp(sf_dir: str, table: str) -> str:
@@ -332,4 +337,64 @@ def mlx6_regression_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_test"),
         F.round(F.sum(err * err).cast("double") / n, 6).alias("mse"),
         F.round(F.sum(F.abs(err)).cast("double") / n, 6).alias("mae"),
+    )
+
+
+# --- mlx7: persisted feature-importance ranking/normalization (M2) -----------
+
+
+@register(
+    "mlx7_importance_ranking",
+    oracle=f"""
+    WITH base AS (
+      SELECT feature, imp_dec FROM read_parquet('{_IMP_DIR}/*.parquet')
+    ), tot AS (SELECT SUM(imp_dec) AS t FROM base)
+    SELECT feature,
+           ROUND(CAST(imp_dec AS DOUBLE), 12) AS importance,
+           CAST(RANK() OVER (ORDER BY imp_dec DESC, feature) AS BIGINT)
+             AS imp_rank,
+           ROUND(CAST(imp_dec AS DOUBLE) / CAST(t AS DOUBLE), 12) AS share,
+           ROUND(CAST(SUM(imp_dec) OVER (ORDER BY imp_dec DESC, feature)
+                      AS DOUBLE) / CAST(t AS DOUBLE), 12) AS cum_share
+    FROM base, tot
+    ORDER BY imp_rank
+    """,
+    tags=("mlx", "ml", "M2", "importance", "persisted"),
+    tables=("events",),
+)
+def mlx7_importance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2's importance ranking + normalization, driver-value-checked via the
+    mlx5/mlx6 persist pattern (round-10 verdict item #8): the seed-pinned
+    RF is fit ONCE per source stamp, its raw featureImportances persisted
+    as DECIMAL(20,18) (exact on both engines; a double column would make
+    the normalizing sum order-dependent), and BOTH engines derive rank /
+    share / cumulative share from that same artifact. This pins everything
+    downstream of the fit — the Pareto ordering the reference plots (ref
+    TrafficAnalysis.py:201-214) — while only the fit itself stays
+    range-gated. Scale: the artifact is n_features rows by construction,
+    so the unpartitioned windows are driver-trivial at any corpus size."""
+    from pyspark.sql.window import Window
+
+    _ensure_artifact(
+        _IMP_DIR,
+        _source_stamp(sf_dir, "events"),
+        lambda: models.rf_feature_importance(spark.table("events")).select(
+            "feature", F.col("importance").cast("decimal(20,18)").alias("imp_dec")
+        ),
+    )
+    base = spark.read.parquet(_IMP_DIR)
+    order = Window.orderBy(F.desc("imp_dec"), F.asc("feature"))
+    everything = Window.partitionBy()
+    total = F.sum("imp_dec").over(everything).cast("double")
+    return (
+        base.select(
+            "feature",
+            F.round(F.col("imp_dec").cast("double"), 12).alias("importance"),
+            F.rank().over(order).cast("bigint").alias("imp_rank"),
+            F.round(F.col("imp_dec").cast("double") / total, 12).alias("share"),
+            F.round(
+                F.sum("imp_dec").over(order).cast("double") / total, 12
+            ).alias("cum_share"),
+        )
+        .orderBy("imp_rank")
     )
