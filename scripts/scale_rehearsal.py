@@ -32,7 +32,8 @@ Dial settings at 10× (each documented at its definition):
          while OR-amplified recall stays high (L=16 tables). The rehearsal
          passes no dial — it measures the shipped rule.
 
-Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm|streaming]`` — one size per
+Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm|streaming|
+100x|100xlsh|st11deep|fuzzy|ivf500k|sqlsf1|sim1m]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
 /tmp/spark_graft_rehearsal). ``joins`` runs the TPC-H-ish join/agg family at
 1× and 10× in one invocation (10× fact tables derived from sf0.1 by
@@ -270,7 +271,7 @@ def gen_embeddings_dist(spark, n_vecs: int, path: str) -> None:
     )
 
 
-def run_100x_lsh_mode(spark) -> None:
+def run_100x_lsh_mode(spark, sizes: dict[str, int] | None = None) -> None:
     """100x scale points for the LSH/IVF families (dd2, dd5, sim3, sim4)
     with the SHIPPED dials engaged, plus recall at scale:
 
@@ -294,18 +295,25 @@ def run_100x_lsh_mode(spark) -> None:
     from trafficanalysisbigdata_spark.operators import dedup as dd
     from trafficanalysisbigdata_spark.operators import similarity as sim
 
-    sizes = {"10x": N_SMALL * SCALE, "100x": N_SMALL * SCALE * 10}
+    sizes = sizes or {"10x": N_SMALL * SCALE, "100x": N_SMALL * SCALE * 10}
     out: dict[str, dict] = {}
     for tag, n_docs in sizes.items():
         n_vecs = n_docs  # 1 vector per doc at this mode's scale
         dp = f"{BASE}/docs_dist_{tag}"
         ep = f"{BASE}/emb_dist_{tag}"
-        for path, gen, arg in ((dp, gen_documents_dist, n_docs), (ep, gen_embeddings_dist, n_vecs)):
+        # LSH_OPS (see below) also gates corpus generation: an
+        # embeddings-only run (sim1m mode) must not pay the doc corpus.
+        sel = [s for s in os.environ.get("LSH_OPS", "").split(",") if s]
+        need_docs = not sel or any(s.startswith("dd2") for s in sel)
+        gens = ((ep, gen_embeddings_dist, n_vecs),) + (
+            ((dp, gen_documents_dist, n_docs),) if need_docs else ()
+        )
+        for path, gen, arg in gens:
             if not os.path.exists(f"{path}/_SUCCESS"):
                 t0 = time.perf_counter()
                 gen(spark, arg, path)
                 print(f"  gen {path}: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
-        docs = spark.read.parquet(dp)
+        docs = spark.read.parquet(dp) if need_docs else None
         emb = spark.read.parquet(ep)
         probes = emb.filter(F.col("vec_id") < 50)
         n_centroids = max(8, n_docs // 500)
@@ -400,8 +408,10 @@ def run_100x_lsh_mode(spark) -> None:
                   f"sim4={res.get('sim4_twin_recall')} pairs={res.get('sim4_pairs_out')}",
                   file=sys.stderr, flush=True)
         out[tag] = res
-    timed = [k for k in ("dd2_minhash_lsh", "dd5_centroid_dedup", "sim3_lsh_topk", "sim4_lsh_neardup") if k in out["10x"]]
-    ratios = {k: round(out["100x"][k] / out["10x"][k], 2) for k in timed}
+    ratios = {}
+    if "10x" in out and "100x" in out:
+        timed = [k for k in ("dd2_minhash_lsh", "dd5_centroid_dedup", "sim3_lsh_topk", "sim4_lsh_neardup") if k in out["10x"]]
+        ratios = {k: round(out["100x"][k] / out["10x"][k], 2) for k in timed}
     print(json.dumps({"mode": "100x_lsh", "timings": out, "ratio_100x_vs_10x": ratios}))
 
 
@@ -1107,6 +1117,96 @@ def run_ivf500k_mode(spark) -> None:
     print(json.dumps({"mode": "ivf500k", "results": out}))
 
 
+def gen_sf1(spark) -> str:
+    """Materialize an sf1-shaped TPC-H directory (10× sf0.1) by replicating
+    the sf0.1 tables with offset keys, preserving referential integrity:
+    copy i of orders points at copy i of customer, copy i of lineitem at
+    copy i of orders/part/supplier — so join fan-outs, selectivities, and
+    value distributions match the originals and only the DATA VOLUME grows.
+    region/nation are fixed-size in TPC-H and copy as-is; events/documents/
+    embeddings are byte-copied (the sql family doesn't read them, but
+    register_views must find every table it's asked for)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sf01 = "/root/testdata/sf0.1"
+    out = f"{BASE}/sf1"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def amplify(name, key_cols, n_parts, copies=10):
+        df = spark.read.parquet(f"{sf01}/{name}.parquet")
+        parts = []
+        for i in range(copies):
+            p = df
+            for k in key_cols:
+                p = p.withColumn(k, F.col(k) + F.lit(i * 100_000_000))
+            parts.append(p)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        acc.repartition(n_parts).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+
+    t0 = time.perf_counter()
+    amplify("customer", ["c_custkey"], 8)
+    amplify("supplier", ["s_suppkey"], 4)
+    amplify("part", ["p_partkey"], 8)
+    amplify("orders", ["o_orderkey", "o_custkey"], 16)
+    amplify("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], 64)
+    for name in ("region", "nation", "events", "documents", "embeddings"):
+        shutil.copy(f"{sf01}/{name}.parquet", f"{out}/{name}.parquet")
+    open(f"{out}/_DONE", "w").write("ok")
+    print(f"  gen sf1: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    return out
+
+
+def run_sqlsf1_mode(spark) -> None:
+    """Round-10 verdict item #2: the TPC-H sql family has only ever been
+    timed at sf0.1 — one sf1 (10×) pass catches planner shapes that
+    silently degrade with volume (build sides crossing the broadcast
+    threshold, AQE switch points, skewed exchanges) the way the LSH
+    rehearsals caught dd5's n·k wall. Reports sf0.1 and sf1 walls measured
+    in the SAME session (same JVM, same host weather) plus the ratio;
+    rows scale 10×, so a healthy shape lands well under 10× wall."""
+    from trafficanalysisbigdata_spark.plans.registry import load_all, release_caches
+
+    sf1_dir = gen_sf1(spark)
+    sf01_dir = "/root/testdata/sf0.1"
+    specs = load_all()
+    names = sorted(n for n in specs if n.startswith("sql"))
+    sel = [s for s in os.environ.get("SQL_OPS", "").split(",") if s]
+    if sel:
+        names = [n for n in names if any(n.startswith(s) for s in sel)]
+    out: dict[str, dict] = {}
+    for name in names:
+        spec = specs[name]
+        row = {}
+        for tag, d in (("sf01", sf01_dir), ("sf1", sf1_dir)):
+            spec.run(spark, d).write.format("noop").mode("overwrite").save()
+            release_caches()
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.run(spark, d).write.format("noop").mode("overwrite").save()
+                ts.append(round(time.perf_counter() - t0, 2))
+                release_caches()
+            row[tag] = min(ts)
+        row["ratio"] = round(row["sf1"] / max(row["sf01"], 1e-9), 1)
+        out[name] = row
+        print(f"  {name}: sf0.1={row['sf01']}s sf1={row['sf1']}s "
+              f"ratio={row['ratio']}x", file=sys.stderr, flush=True)
+    worst = sorted(out, key=lambda n: -out[n]["ratio"])[:5]
+    print(json.dumps({
+        "mode": "sqlsf1",
+        "results": out,
+        "worst_ratios": {n: out[n]["ratio"] for n in worst},
+    }))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -1149,6 +1249,15 @@ def main() -> None:
         return
     if wanted == ["ivf500k"]:
         run_ivf500k_mode(spark)
+        return
+    if wanted == ["sqlsf1"]:
+        run_sqlsf1_mode(spark)
+        return
+    if wanted == ["sim1m"]:
+        # verdict r10 item #7: validate the adaptive-L 32-table step one
+        # decade past its 500k receipt, before it's load-bearing.
+        os.environ.setdefault("LSH_OPS", "sim3,sim4")
+        run_100x_lsh_mode(spark, sizes={"1m": 1_000_000})
         return
     for tag in wanted:
         n = all_sizes[tag]
