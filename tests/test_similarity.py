@@ -235,11 +235,13 @@ def test_hash_ivf_index_pruning_and_recall(spark, tmp_path):
 def test_adaptive_n_planes_rule():
     """The sim4 banding dial is code, not prose: P=4 (the oracle-mirrored
     floor) for every driver-SF corpus, then grows log2 with the corpus to
-    hold expected bucket size constant. The cap sits at 12 (not 8): the
-    round-9 500k rehearsal measured twin recall collapsing to 0.748 with
-    P capped at 8, because expected occupancy (~1950) blew past the 1024
-    max_bucket work cap and dense buckets were dropped wholesale — the cap
-    must track log2(n/target) through the target corpus size."""
+    hold expected bucket size constant. The cap sits at 14 (raised from 12
+    in round 11 so the measured 1M frontier — which derives P=12, right at
+    the old cap's edge — has headroom through the next decade; raised from
+    8 in round 9 after the 500k rehearsal measured twin recall collapsing
+    to 0.748 when occupancy ~1950 blew past the 1024 max_bucket work cap
+    and dense buckets were dropped wholesale). The cap must track
+    log2(n/target) through the target corpus size."""
     from trafficanalysisbigdata_spark.operators.similarity import adaptive_n_planes
 
     assert adaptive_n_planes(0) == 4
@@ -249,7 +251,8 @@ def test_adaptive_n_planes_rule():
     assert adaptive_n_planes(5_000) == 5    # 1x rehearsal
     assert adaptive_n_planes(50_000) == 8   # 10x rehearsal
     assert adaptive_n_planes(500_000) == 11  # 100x rehearsal: occupancy ~244 < 1024
-    assert adaptive_n_planes(10_000_000) == 12  # cap
+    assert adaptive_n_planes(1_000_000) == 12   # 1M rehearsal point
+    assert adaptive_n_planes(10_000_000) == 14  # cap (carries rule to ~4M)
 
 
 def test_adaptive_n_tables_rule():

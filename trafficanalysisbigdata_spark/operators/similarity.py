@@ -247,15 +247,19 @@ def table_bucket_capped(buckets: DataFrame, max_bucket: int) -> DataFrame:
 
 
 def adaptive_n_planes(
-    n: int, floor: int = 4, cap: int = 12, target_bucket: int = 128
+    n: int, floor: int = 4, cap: int = 14, target_bucket: int = 128
 ) -> int:
     """The n_planes dial as CODE (dd5's k∝√n discipline applied to LSH
     banding): per-table candidate-pair volume is ~n²/2^P at uniform
     occupancy, so holding expected bucket size at ``target_bucket`` means
     2^P ∝ n, i.e. P = log2(n / target_bucket). Clamped to [floor, cap]:
     the floor keeps toy corpora at the oracle-mirrored P=4 (any corpus
-    < 4096 vectors derives 4, which covers every driver SF); the cap at 12
-    carries the rule to ~500k vectors before bucket growth resumes.
+    < 4096 vectors derives 4, which covers every driver SF); the cap at 14
+    carries the rule to ~4M vectors before bucket growth resumes (raised
+    from 12 in round 11: the 1M rehearsal point derives P=12 — truncation
+    keeps it just under the old cap — so the NEXT decade would have
+    crossed it silently; the raise keeps the occupancy invariant ahead of
+    the measured frontier instead of trailing it).
 
     The cap MUST stay above log2(n/target) through the target corpus size:
     the round-9 500k rehearsal measured what happens when it doesn't.
