@@ -430,11 +430,19 @@ def run_100x_lsh_mode(spark, sizes: dict[str, int] | None = None) -> None:
 
                 pp = f"{BASE}/sim4_pairs_1m"
                 _sh.rmtree(pp, ignore_errors=True)
+                # LSH_PAIRS_P pins deeper banding: the occupancy rule's
+                # P=12 at 1M yields ~4.3B candidates (n*occ/2*L =
+                # 1M*244/2*35) whose transient shuffle exceeds this host's
+                # disk; P=14 (L=56 from the (P, bar) solver) cuts candidate
+                # volume 2.5x -- the docstring-prescribed volume dial,
+                # measured here one decade ahead of the rule.
+                pin_p = os.environ.get("LSH_PAIRS_P")
                 try:
                     t0 = time.perf_counter()
                     sim.lsh_neardup_pairs(
-                        emb, 0.8, n_tables=None, dim=DIM, max_bucket=1024,
-                        n_rows=n_vecs,
+                        emb, 0.8, n_tables=None,
+                        n_planes=int(pin_p) if pin_p else None,
+                        dim=DIM, max_bucket=1024, n_rows=n_vecs,
                     ).write.mode("overwrite").parquet(pp)
                     res["sim4_lsh_neardup"] = round(time.perf_counter() - t0, 2)
                     print(f"  1m sim4_lsh_neardup (single materializing "
