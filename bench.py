@@ -172,6 +172,11 @@ BENCH_QUERIES = [
     "w12_hourly_grid_interpolate",
     "a17_weighted_median",
     "olap12_snapshot_diff",
+    # round-11 additions (mlx7 excluded like mlx5/mlx6: its first pass pays
+    # a model fit, which would measure MLlib training, not engine throughput)
+    "pipe11_token_budget_select",
+    "pipe12_cluster_canonicalize",
+    "tx15_cross_source_contamination",
 ]
 
 

@@ -430,30 +430,34 @@ def run_100x_lsh_mode(spark, sizes: dict[str, int] | None = None) -> None:
 
                 pp = f"{BASE}/sim4_pairs_1m"
                 _sh.rmtree(pp, ignore_errors=True)
-                # LSH_PAIRS_P pins deeper banding: the occupancy rule's
-                # P=12 at 1M yields ~4.3B candidates (n*occ/2*L =
-                # 1M*244/2*35) whose transient shuffle exceeds this host's
-                # disk; P=14 (L=56 from the (P, bar) solver) cuts candidate
-                # volume 2.5x -- the docstring-prescribed volume dial,
-                # measured here one decade ahead of the rule.
-                pin_p = os.environ.get("LSH_PAIRS_P")
+                # The 1M pair LIST runs the STAGED operator at the SHIPPED
+                # dial (auto P=12, L=35). Single-pass DNF'd three ways this
+                # round: P=12's 4.3B-candidate distinct exceeds disk; at
+                # P=14/P=16 re-dials the killer was the SCORING joins — 1M
+                # prenormed rows are 560 MB > the 512 MB default broadcast
+                # budget, so Catalyst sort-merges candidates widened by
+                # 8*dim-byte vectors (~10^8 MB spill, exactly the wall the
+                # operator docstring documents at 500k x 35). Staging bounds
+                # the transient distinct to gs/L of total and 768 MB budget
+                # keeps scoring map-side (measured headroom: 48g heap).
+                pin_gs = int(os.environ.get("LSH_STAGE_GROUP", "4"))
                 try:
                     t0 = time.perf_counter()
-                    sim.lsh_neardup_pairs(
-                        emb, 0.8, n_tables=None,
-                        n_planes=int(pin_p) if pin_p else None,
+                    sim.lsh_neardup_pairs_staged(
+                        emb, 0.8, work_dir=pp, n_tables=None,
                         dim=DIM, max_bucket=1024, n_rows=n_vecs,
-                    ).write.mode("overwrite").parquet(pp)
+                        group_size=pin_gs, broadcast_budget_mb=768,
+                    ).write.mode("overwrite").parquet(f"{pp}_final")
                     res["sim4_lsh_neardup"] = round(time.perf_counter() - t0, 2)
-                    print(f"  1m sim4_lsh_neardup (single materializing "
-                          f"pass): {res['sim4_lsh_neardup']}s",
+                    print(f"  1m sim4_lsh_neardup (staged gs={pin_gs}, "
+                          f"shipped dial): {res['sim4_lsh_neardup']}s",
                           file=sys.stderr, flush=True)
                 except Exception as e:
                     res["sim4_lsh_neardup"] = -1.0
                     print(f"  1m sim4_lsh_neardup: FAILED "
                           f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
                 pairs = (
-                    spark.read.parquet(pp)
+                    spark.read.parquet(f"{pp}_final")
                     if res["sim4_lsh_neardup"] >= 0
                     else None
                 )

@@ -567,3 +567,71 @@ def test_olap9_empty_catalog(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
     out = queries()["olap9_pareto_abc"](spark.newSession(), str(tmp_path))
     assert out.count() == 0
+
+
+def test_two_phase_prefix_sum_matches_naive_window(spark):
+    """two_phase_prefix_sum == a naive single-partition window cumsum on a
+    frame with duplicate keys (tie groups spanning bucket cut candidates),
+    both directions."""
+    from pyspark.sql.window import Window
+
+    from trafficanalysisbigdata_spark.operators.prefixsum import (
+        two_phase_prefix_sum,
+    )
+
+    rows = [(i, float(k), v) for i, (k, v) in enumerate(
+        [(5, 10), (1, 1), (5, 20), (3, 7), (1, 2), (9, 100), (3, 5), (5, 30)]
+    )]
+    df = spark.createDataFrame(rows, "id long, key double, v long")
+    for desc in (False, True):
+        order = [F.desc("key") if desc else F.asc("key"), F.asc("id")]
+        naive = {
+            r["id"]: r["cum"]
+            for r in df.withColumn(
+                "cum",
+                F.sum("v").over(
+                    Window.partitionBy(F.lit(0))
+                    .orderBy(*order)
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            ).collect()
+        }
+        got = two_phase_prefix_sum(
+            df.repartition(4),
+            key="key",
+            value="v",
+            out="cum",
+            descending=desc,
+            tiebreak=("id",),
+            n_buckets=3,
+            total_out="tot",
+        ).collect()
+        assert {r["id"]: r["cum"] for r in got} == naive
+        assert all(r["tot"] == 175 for r in got)
+
+
+def test_two_phase_prefix_sum_empty_frame(spark):
+    """Zero rows: the bounds action yields NULL cuts and the operator must
+    return an empty (not raising) frame with the new columns."""
+    from trafficanalysisbigdata_spark.operators.prefixsum import (
+        two_phase_prefix_sum,
+    )
+
+    df = spark.createDataFrame([], "id long, key double, v long")
+    out = two_phase_prefix_sum(
+        df, key="key", value="v", out="cum", total_out="tot"
+    )
+    assert out.count() == 0
+    assert {"cum", "tot"} <= set(out.columns)
+
+
+def test_connected_components_no_edges(spark):
+    """pipe12's singleton path: an empty edge list must yield an empty label
+    frame (every doc then coalesces to its own cluster downstream), not an
+    error from the fixpoint loop."""
+    from trafficanalysisbigdata_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "doc1 long, doc2 long")
+    assert connected_components(pairs).count() == 0

@@ -373,3 +373,26 @@ def test_olap12_single_full_outer_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "olap12_snapshot_diff")
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pipe11_no_unpartitioned_corpus_window(spark, sf_dir):
+    """pipe11: the budget cumsum must run as the olap9-style two-phase
+    distributed prefix-sum — every windowspecdefinition carries a partition
+    spec (pid / constant-ledger), never a global (score DESC) sort through
+    one reducer."""
+    plan = _plan(spark, sf_dir, "pipe11_token_budget_select")
+    assert "Window" in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            spec = ln.split("windowspecdefinition", 1)[1]
+            head = spec.split(",", 1)[0]
+            assert "score" not in head and "DESC" not in head, ln
+
+
+def test_tx15_postings_are_hashed_and_distinct_before_join(spark, sf_dir):
+    """tx15: the contamination self-join must consume per-source DISTINCT
+    xxhash64 postings — the join key is the 8-byte hash (no shingle strings
+    cross the pair-join exchange) and both grid/ledger joins broadcast."""
+    plan = _plan(spark, sf_dir, "tx15_cross_source_contamination")
+    assert "xxhash64" in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2

@@ -250,3 +250,48 @@ def test_upsert_algebra_batch_split_invariant(spark, rows, n_batches):
     got = sorted(map(tuple, state.collect()))
     want = sorted(map(tuple, agg(df).collect()))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 50)),  # (key, value)
+        min_size=1,
+        max_size=30,
+    ),
+    n_buckets=st.integers(1, 5),
+    descending=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_two_phase_prefix_sum_equals_python_cumsum(
+    spark, rows, n_buckets, descending
+):
+    """two_phase_prefix_sum == a plain Python running total over the same
+    (key, id) ordering, for any key distribution (heavy ties included, so
+    tie groups straddle percentile cut candidates) and any bucket count."""
+    from trafficanalysisbigdata_spark.operators.prefixsum import (
+        two_phase_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(k), v) for i, (k, v) in enumerate(rows)],
+        "id long, key double, v long",
+    )
+    ordered = sorted(
+        enumerate(rows), key=lambda e: (-e[1][0] if descending else e[1][0], e[0])
+    )
+    expect, running = {}, 0
+    for i, (_, v) in ordered:
+        running += v
+        expect[i] = running
+    got = two_phase_prefix_sum(
+        df.repartition(3),
+        key="key",
+        value="v",
+        out="cum",
+        descending=descending,
+        tiebreak=("id",),
+        n_buckets=n_buckets,
+        total_out="tot",
+    ).collect()
+    assert {r["id"]: r["cum"] for r in got} == expect
+    assert all(r["tot"] == running for r in got)

@@ -57,13 +57,18 @@ def plane_component(table: int, plane: int, dim_i: int) -> float:
     return int(h[:8], 16) / float(16**8) - 0.5
 
 
-def plane_matrix(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+def plane_matrix(
+    n_tables: int, n_planes: int, dim: int, table_offset: int = 0
+) -> np.ndarray:
     """(n_tables * n_planes, dim) hyperplane matrix; row t*P+p = plane p of
-    table t."""
+    table ``table_offset + t``. The offset lets a staged caller
+    (``lsh_neardup_pairs_staged``) generate DISJOINT table groups — table
+    identity is the md5 seed, so group [8, 16) hashes exactly the planes a
+    single L=16 run would have used for its tables 8..15."""
     return np.array(
         [
             [plane_component(t, p, i) for i in range(dim)]
-            for t in range(n_tables)
+            for t in range(table_offset, table_offset + n_tables)
             for p in range(n_planes)
         ],
         dtype=np.float64,
@@ -77,6 +82,7 @@ def multi_table_buckets(
     dim: int,
     vec_col: str = "embedding",
     out_col: str = "buckets",
+    table_offset: int = 0,
 ) -> DataFrame:
     """Append ``out_col``: array of ``n_tables`` sign-bit bucket ids
     (bit p of table t = (v · plane_{t,p}) >= 0).
@@ -84,7 +90,7 @@ def multi_table_buckets(
     One Arrow-batched matmul per partition batch — the per-row cost is
     O(dim · L · P) multiply-adds in BLAS, independent of corpus size.
     """
-    mat = plane_matrix(n_tables, n_planes, dim)
+    mat = plane_matrix(n_tables, n_planes, dim, table_offset)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @pandas_udf("array<int>")
@@ -101,7 +107,14 @@ def multi_table_buckets(
 
 
 def _exploded_buckets(
-    df: DataFrame, n_tables: int, n_planes: int, dim: int, id_col: str, vec_col: str, id_alias: str
+    df: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    table_offset: int = 0,
 ) -> DataFrame:
     """(id_alias, t, bucket) — one row per (row, table).
 
@@ -112,7 +125,7 @@ def _exploded_buckets(
     the cosine scoring they drag the whole stage into interpreted eval. The
     distinct's stage boundary keeps scoring in codegen.)"""
     return (
-        multi_table_buckets(df, n_tables, n_planes, dim, vec_col)
+        multi_table_buckets(df, n_tables, n_planes, dim, vec_col, table_offset=table_offset)
         .select(F.col(id_col).alias(id_alias), F.posexplode("buckets").alias("t", "bucket"))
     )
 
@@ -343,6 +356,8 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     max_bucket: int | None = None,
     n_rows: int | None = None,
+    table_offset: int = 0,
+    broadcast_budget_mb: int = 512,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded LSH candidates (pairs
     colliding in any table), then exact cosine ≥ threshold. Never all-pairs —
@@ -393,7 +408,10 @@ def lsh_neardup_pairs(
         n_planes = adaptive_n_planes(n_known)
     if n_tables is None:
         n_tables = adaptive_n_tables(n_planes, threshold)
-    ba = _exploded_buckets(corpus, n_tables, n_planes, dim, id_col, vec_col, "id1")
+    ba = _exploded_buckets(
+        corpus, n_tables, n_planes, dim, id_col, vec_col, "id1",
+        table_offset=table_offset,
+    )
     if max_bucket is not None:
         ba = table_bucket_capped(ba, max_bucket)
     bb = ba.select(F.col("id1").alias("id2"), "t", "bucket")
@@ -410,8 +428,10 @@ def lsh_neardup_pairs(
         F.col(vec_col).alias("v"),
         norm(as_double(F.col(vec_col))).alias("n"),
     )
-    # ~(8·dim + 48) bytes per prenormed row; 512 MB broadcast budget
-    if n_known is not None and n_known * (dim * 8 + 48) <= 512 * 1024 * 1024:
+    # ~(8·dim + 48) bytes per prenormed row; 512 MB default broadcast budget
+    # (callers with verified executor headroom may raise it — the staged 1M
+    # rehearsal runs 768 MB so scoring stays map-side one decade further)
+    if n_known is not None and n_known * (dim * 8 + 48) <= broadcast_budget_mb * 1024 * 1024:
         v = F.broadcast(v)
     return (
         cand.join(v.withColumnsRenamed({"vid": "id1", "v": "v1", "n": "n1"}), "id1")
@@ -425,6 +445,75 @@ def lsh_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def lsh_neardup_pairs_staged(
+    corpus: DataFrame,
+    threshold: float,
+    work_dir: str,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+    n_rows: int | None = None,
+    group_size: int = 4,
+    broadcast_budget_mb: int = 512,
+) -> DataFrame:
+    """``lsh_neardup_pairs`` with BOUNDED transient shuffle: the L tables are
+    processed in groups of ``group_size``, each group's verified pairs
+    materialized to ``work_dir`` before the next group starts, and the final
+    result is the distinct union read back. Set-identical to the single-pass
+    operator (a pair qualifies iff it collides in >= 1 table and scores past
+    the threshold; verification is deterministic, and ``table_offset`` makes
+    group g hash exactly the planes single-pass tables [g·gs, (g+1)·gs)
+    would) — only the peak in-flight candidate volume changes: L/gs stages of
+    ~(total/L)·gs candidate rows each, instead of one stage holding all of
+    them at once.
+
+    This is the materialized-pair-list contract past ``lsh_neardup_pairs``'s
+    documented single-pass frontier (~10⁶ vectors): at 1M×64-d the shipped
+    dial (P=12, L=35) yields ~4.3B transient candidates whose distinct+score
+    sort spill (~140+ GB with lineage overhead) exceeded an 80 GB-free host
+    twice in the round-11 rehearsal (P=14 and P=16 re-dials both DNF — skewed
+    cluster buckets keep Σbucket² high as P deepens). Staging bounds the
+    spill at ~group_size/L of that, which is also the cluster posture: when
+    aggregate shuffle space is the scarce resource, checkpointing stage
+    boundaries beats one giant exchange. The extra cost is re-verifying
+    pairs that collide in multiple groups (the single-pass distinct dedups
+    them pre-score); group_size trades that against peak disk.
+
+    Only the pair LIST needs this; collapse consumers (dd5/sim8/components)
+    stay on the single-pass operator whose output never materializes
+    per-pair state.
+    """
+    n_known = n_rows if n_rows is not None else corpus.count()
+    if n_planes is None:
+        n_planes = adaptive_n_planes(n_known)
+    if n_tables is None:
+        n_tables = adaptive_n_tables(n_planes, threshold)
+    spark = corpus.sparkSession
+    paths = []
+    for off in range(0, n_tables, group_size):
+        g = min(group_size, n_tables - off)
+        part = lsh_neardup_pairs(
+            corpus,
+            threshold,
+            n_tables=g,
+            n_planes=n_planes,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket=max_bucket,
+            n_rows=n_known,
+            table_offset=off,
+            broadcast_budget_mb=broadcast_budget_mb,
+        ).select("id1", "id2", "cos")
+        p = f"{work_dir}/tables_{off:04d}"
+        part.write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return spark.read.parquet(*paths).distinct()
 
 
 def ivf_topk(

@@ -691,9 +691,7 @@ def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. The bounds need not even be balanced for correctness —
     only for parallelism — because all rows with equal revenue land in one
     bucket and the per-bucket window breaks ties by part key."""
-    from functools import reduce
-
-    from pyspark.sql.window import Window
+    from ..operators.prefixsum import two_phase_prefix_sum
 
     n_buckets = 8
     g = (
@@ -715,52 +713,21 @@ def olap9_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import track_cache
 
     g = track_cache(g.persist(StorageLevel.MEMORY_AND_DISK))
-    # Phase 0: range bounds as literals (1-row driver action, ~RangePartitioner).
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
-    # `or []` guards the empty-catalog edge: percentile_approx over zero
-    # rows yields NULL, and one bucket over an empty frame is still an
-    # empty (correct) result — without it the reduce below would raise at
-    # plan-build time (round-9 advice).
-    cuts = g.select(
-        F.percentile_approx(F.col("rev_dec").cast("double"), fracs, 10000).alias("c")
-    ).first()["c"] or []
-    # Phase 1: value-derived bucket — number of bounds strictly above this
-    # revenue, so bucket 0 holds the largest revenues (desc total order) and
-    # equal revenues always share a bucket; per-bucket cumsums in parallel.
-    rd = F.col("rev_dec").cast("double")
-    bucket = reduce(
-        lambda acc, c: acc + F.when(rd < F.lit(c), 1).otherwise(0),
-        cuts,
-        F.lit(0),
-    )
-    ranged = g.withColumn("pid", bucket)
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy(F.desc("rev_dec"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = ranged.withColumn("local_cum", F.sum("rev_dec").over(w_local))
-    # Phase 2: bucket-totals ledger (num-buckets rows); running prefix
-    # offset per bucket plus the grand total, broadcast back onto the catalog.
-    ptot = local.groupBy("pid").agg(F.sum("rev_dec").alias("p_sum"))
-    w_off = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_tot = Window.partitionBy(F.lit(0))
-    ledger = ptot.select(
-        "pid",
-        F.coalesce(F.sum("p_sum").over(w_off), F.lit(0).cast("decimal(18,6)")).alias(
-            "offset"
-        ),
-        F.sum("p_sum").over(w_tot).alias("tot_dec"),
-    )
-    ranked = local.join(F.broadcast(ledger), "pid").select(
-        "rev_dec",
-        (F.col("local_cum") + F.col("offset")).alias("cum_dec"),
-        "tot_dec",
-    )
+    # Phases 0-2 (literal range cuts -> per-bucket cumsums -> broadcast
+    # offset ledger) live in operators/prefixsum.two_phase_prefix_sum since
+    # round 11 — pipe11 shares the identical machinery and both carry the
+    # same plan guards. Decimal sums stay decimal through the operator
+    # (only the CUTS are double), so the A/B boundary stays exact.
+    ranked = two_phase_prefix_sum(
+        g,
+        key="rev_dec",
+        value="rev_dec",
+        out="cum_dec",
+        descending=True,
+        tiebreak=("l_partkey",),
+        n_buckets=n_buckets,
+        total_out="tot_dec",
+    ).select("rev_dec", "cum_dec", "tot_dec")
     dec80 = F.lit("0.80").cast("decimal(3,2)")
     dec95 = F.lit("0.95").cast("decimal(3,2)")
     classed = ranked.select(

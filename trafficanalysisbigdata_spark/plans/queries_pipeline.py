@@ -20,7 +20,7 @@ from ..operators.dedup import doc_token_sets, simhash16
 from .registry import register
 
 # SQL twins shared with the text/dedup oracles (same algorithms, same hashes)
-from .queries_dedup import _SIMHASH_FP, _SIMHASH_VOTES
+from .queries_dedup import _DD2_CTES, _SIMHASH_FP, _SIMHASH_VOTES
 from .queries_text import _NSTOP_EN, _NSTOP_ES, _TOKS
 
 _MIN_TOKENS = 5
@@ -776,4 +776,197 @@ def pipe10_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nt").cast("int").alias("n_tokens"),
         )
         .orderBy("phase", "shuffle_key", "doc_id")
+    )
+
+
+@register(
+    "pipe11_token_budget_select",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS score
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, nt,
+             SUM(nt) OVER (ORDER BY score DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT (6 * SUM(nt)) // 10 FROM d) AS budget
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) FILTER (WHERE cum - nt < budget) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE cum - nt >= budget) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(nt) FILTER (WHERE cum - nt < budget), 0)
+                AS BIGINT) AS tokens_kept
+    FROM c GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "budget", "selection", "llm-pipeline"),
+    tables=("documents",),
+)
+def pipe11_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: rank the corpus by a quality score
+    (lexical diversity, ties broken by doc_id), then greedily keep documents
+    in rank order until a fixed token budget — 60% of the corpus's total
+    tokens — is filled (a doc is kept iff the running total BEFORE it is
+    under budget, the standard greedy fill that admits one boundary
+    overflow). Reported per source: kept/dropped doc counts and kept tokens
+    — the "which sources survive a quality-ranked budget cut" report every
+    pretraining data build runs before committing a mix.
+
+    The cumulative token sum ordered by (score DESC, doc_id) is the olap9
+    two-phase distributed prefix-sum, NOT a global single-reducer window:
+    score-range buckets from value-derived literal cuts (one 1-row driver
+    action over the skinny projection, the explicit RangePartitioner bounds
+    — same determinism argument as olap9: buckets assigned by VALUE, never
+    by physical placement), per-bucket ordered cumsums in parallel, then a
+    num-buckets-row offset ledger broadcast back. The budget itself is
+    integer arithmetic ((6·total) div 10) on BIGINT token counts on both
+    engines, so the keep/drop boundary cannot flap on double rounding.
+
+    Scale posture: one skinny (doc_id, source, nt, score) projection
+    (persisted across the bounds action and the main DAG, harness-released),
+    one hash exchange on the bucket, a broadcast ledger join, and a final
+    partial/final agg on source. A 100-billion-doc corpus never sorts
+    through one partition. Plan-guarded: every windowspecdefinition carries
+    a partition spec (tests/test_plans.py)."""
+    from pyspark import StorageLevel
+
+    from ..operators.prefixsum import two_phase_prefix_sum
+    from .registry import track_cache
+
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("nt"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "score"
+        ),
+    )
+    # persisted across the operator's bounds action and the main DAG;
+    # ownership handed to the harness (olap9's lifetime contract)
+    d = track_cache(d.persist(StorageLevel.MEMORY_AND_DISK))
+    cum = two_phase_prefix_sum(
+        d,
+        key="score",
+        value="nt",
+        out="cum",
+        descending=True,
+        tiebreak=("doc_id",),
+        total_out="total",
+    )
+    kept = cum.select(
+        "source",
+        "nt",
+        ((F.col("cum") - F.col("nt")) < F.expr("(total * 6) div 10")).alias(
+            "keep"
+        ),
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("nt"))), F.lit(0)
+            ).cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipe12_cluster_canonicalize",
+    oracle=f"""
+    WITH RECURSIVE {_DD2_CTES}, neardup AS (
+      SELECT doc1, doc2 FROM scored WHERE jaccard >= 0.5
+    ), sym AS (
+      SELECT doc1 AS v, doc2 AS w FROM neardup
+      UNION
+      SELECT doc2 AS v, doc1 AS w FROM neardup
+    ), reach AS (
+      SELECT v, w FROM sym
+      UNION
+      SELECT r.v, s.w FROM reach r JOIN sym s ON r.w = s.v
+    ), lab AS (
+      SELECT v, LEAST(v, MIN(w)) AS component FROM reach GROUP BY v
+    ), fulld AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             COALESCE(l.component, d.doc_id) AS comp
+      FROM documents d LEFT JOIN lab l ON d.doc_id = l.v
+    ), ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY comp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM fulld
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE rn > 1), 0)
+                AS BIGINT) AS chars_dropped
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "dedup", "canonical", "llm-pipeline"),
+    tables=("documents",),
+)
+def pipe12_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: dd2's verified near-dup pairs
+    (capped LSH -> Jaccard >= 0.5) become clusters via dd6's iterative
+    connected components; within each cluster ONE canonical document
+    survives — the longest (n_chars DESC, ties to the smallest doc_id), the
+    "keep the best copy" rule an actual dedup pass applies, rather than
+    dd6's min-id placeholder. Singletons (docs in no near-dup pair) are
+    their own cluster via the left join + coalesce. Reported per source:
+    total/kept/dropped docs and the chars the pass deletes — the dedup
+    yield report per upstream source.
+
+    Spark side: min-label propagation with pointer jumping
+    (``operators/components.connected_components``, O(log diameter) rounds)
+    over ``minhash_lsh_scores`` edges; the canonical pick is a row_number
+    window PARTITIONED BY component (cluster-bounded, never global); the
+    oracle is the recursive-CTE closure + the same window. Scale: edges are
+    capped-LSH candidates (never all-pairs), component state is one label
+    row per vertex with per-round lineage truncation, and the final agg is
+    partial/final on source."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import minhash_lsh_scores
+    from .queries_dedup import DD2_MAX_BUCKET
+
+    from pyspark.sql.window import Window
+
+    docs = spark.table("documents")
+    edges = (
+        minhash_lsh_scores(docs, max_bucket=DD2_MAX_BUCKET)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2")
+    )
+    labels = connected_components(edges).withColumnRenamed("v", "doc_id")
+    full = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(labels, "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("comp"),
+        )
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = full.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("bigint")).alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") > 1, F.col("n_chars"))), F.lit(0)
+            ).cast("bigint").alias("chars_dropped"),
+        )
+        .orderBy("source")
     )

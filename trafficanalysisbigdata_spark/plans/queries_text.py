@@ -728,3 +728,92 @@ def tx14_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "tx15_cross_source_contamination",
+    oracle="""
+    WITH post AS (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source,
+               UNNEST(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh
+        FROM documents)
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n FROM post GROUP BY source
+    ), shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM post a JOIN post b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT x.source AS src_a, y.source AS src_b,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND(COALESCE(s.n_shared, 0) * 1.0
+                 / (x.n + y.n - COALESCE(s.n_shared, 0)), 6) AS jaccard
+    FROM sizes x
+    JOIN sizes y ON x.source < y.source
+    LEFT JOIN shared s ON s.src_a = x.source AND s.src_b = y.source
+    ORDER BY src_a, src_b
+    """,
+    tags=("text", "contamination", "ngram", "llm-pipeline"),
+    tables=("documents",),
+)
+def tx15_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair,
+    the number of DISTINCT 5-token shingles both sources contain and the
+    shingle-set Jaccard — the corpus-level view of pipe5's doc-level
+    decontamination (is source B a re-crawl / republication of source A?).
+    Pairs with zero overlap still appear (left join over the full
+    source-pair grid), so an all-clean matrix is visible rather than empty.
+
+    Scale posture: postings collapse to DISTINCT (source, xxhash64) rows
+    FIRST — 8-byte keys, map-side-combined — so each shingle contributes at
+    most one row per source and the self-equi-join on the hash has fan-out
+    <= n_sources per key (bounded by the source catalog, NOT corpus size;
+    contrast dd4's per-doc postings where hot shingles need the df cap).
+    The pair grid and size ledger are source-cardinality-sized and
+    broadcast. The xxhash64/raw-string split between engines counts the
+    same distinct sets short of a 64-bit collision (dd7's argument).
+    """
+    from ..functions.text import token_ngrams
+
+    docs = spark.table("documents")
+    post = (
+        docs.select(
+            "source", F.explode(token_ngrams(F.col("text"), 5)).alias("sh")
+        )
+        .select("source", F.xxhash64("sh").alias("k"))
+        .distinct()
+    )
+    sizes = post.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = post.select(F.col("source").alias("src_a"), "k")
+    b = post.select(F.col("source").alias("src_b"), "k")
+    shared = (
+        a.join(b, "k")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    grid = (
+        sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"), F.col("n").alias("n_b")
+                )
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    ns = F.coalesce(F.col("n_shared"), F.lit(0))
+    return (
+        grid.join(F.broadcast(shared), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            ns.cast("bigint").alias("n_shared"),
+            F.round(ns / (F.col("n_a") + F.col("n_b") - ns), 6).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
