@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "pipe11_token_budget_select",
     "pipe12_cluster_canonicalize",
     "tx15_cross_source_contamination",
+    "j11_interval_overlap_join",
+    "pipe13_neardup_decontaminated_split",
 ]
 
 
@@ -213,7 +215,13 @@ def main() -> None:
         t0 = time.perf_counter()
         (
             spark.range(0, 64_000_000, 1, 32)
-            .selectExpr("xxhash64(id) AS h", "pmod(xxhash64(id), 64) AS g")
+            # pmod bounds the summand so 64M-row sums can't overflow a long
+            # under ANSI (raw xxhash64 sums did, and an exception here would
+            # kill the whole bench before the JSON line emits)
+            .selectExpr(
+                "pmod(xxhash64(id), 1048576) AS h",
+                "pmod(xxhash64(id, 7), 64) AS g",
+            )
             .groupBy("g")  # 64 groups, fixed 32-partition shuffle
             .agg({"h": "sum"})
             .write.format("noop")

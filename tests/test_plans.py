@@ -396,3 +396,13 @@ def test_tx15_postings_are_hashed_and_distinct_before_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tx15_cross_source_contamination")
     assert "xxhash64" in plan
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_j11_grid_join_no_nested_loop(spark, sf_dir):
+    """j11: the keyless interval-overlap join must execute as an equi join
+    on the grid cell (hash or sort-merge after the explode) — a
+    NestedLoop/Cartesian node means the binning failed and the plan is the
+    n² join that cannot run at scale."""
+    plan = _plan(spark, sf_dir, "j11_interval_overlap_join")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Generate explode" in plan or "Expand" in plan or "sequence" in plan

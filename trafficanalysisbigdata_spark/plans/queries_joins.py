@@ -418,3 +418,105 @@ def j10_fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit_pos")
     )
+
+
+@register(
+    "j11_interval_overlap_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id,
+             date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS s,
+             date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts)
+               + CAST(ROUND(value * 1000000, 0) AS BIGINT) AS e
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id,
+             date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS s,
+             date_diff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts)
+               + CAST(ROUND(value * 1000000, 0) AS BIGINT) AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT (GREATEST(c.s, p.s) // 86400000000) AS epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(LEAST(c.e, p.e) - GREATEST(c.s, p.s)) AS BIGINT)
+             AS total_overlap_us
+    FROM c JOIN p ON c.s <= p.e AND p.s <= c.e
+    GROUP BY epoch_day ORDER BY epoch_day
+    """,
+    tags=("join", "interval", "grid"),
+    tables=("events",),
+)
+def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval-overlap join — concurrent-activity detection: every
+    (click, purchase) pair whose activity intervals [ts, ts + value seconds]
+    overlap in time, reported per day-index (days since the naive 2024-01-01 epoch) of the later start (pair count +
+    total overlap microseconds). Unlike j5 (equi key + band filter rides a
+    sort-merge join), there is NO equi key here: the naive plan is a
+    cartesian nested-loop — the join Spark cannot execute at scale.
+
+    The scale path is GRID BINNING (the spatial-join / Databricks
+    range-join-hint technique as plain DataFrame ops): explode each interval
+    to the 10-minute cells it spans, hash-join on the cell, and keep a pair
+    only in ONE deterministic cell — the cell of the LATER START, which any
+    overlapping pair's two intervals both span by construction — so no
+    post-join distinct is ever needed. Join work is Σ(occupancy²) per cell,
+    bounded by interval span (≤ 490 s = at most 2 cells here) and cell
+    width, never n²; the pair condition and overlap length are integer
+    microsecond arithmetic end-to-end (w11's NAIVE-epoch µs idiom — no
+    timezone touches any boundary — plus ROUND(value·1e6), where the
+    double-to-int boundary is rounded identically on both engines, and the
+    day key is integer `div`, so no timezone or float-rounding flap).
+    Plan-guarded: no NestedLoop/Cartesian node survives
+    (tests/test_plans.py)."""
+    ev = spark.table("events")
+    cell_us = 600 * 1_000_000
+    day_us = 86_400_000_000
+
+    naive_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+
+    def intervals(etype: str, pfx: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{pfx}_id"),
+            naive_us.alias(f"{pfx}_s"),
+            (naive_us + F.round(F.col("value") * 1_000_000, 0).cast("bigint")).alias(
+                f"{pfx}_e"
+            ),
+        )
+
+    def gridded(df: DataFrame, pfx: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{pfx}_s div {cell_us}"),
+                    F.expr(f"{pfx}_e div {cell_us}"),
+                )
+            ).alias("cell"),
+        )
+
+    c = gridded(intervals("click", "c"), "c")
+    p = gridded(intervals("purchase", "p"), "p")
+    pairs = (
+        c.join(p, "cell")
+        .filter(
+            (F.col("c_s") <= F.col("p_e"))
+            & (F.col("p_s") <= F.col("c_e"))
+            # dedup-free: keep the pair only in the later-start's cell
+            & (F.col("cell") == F.expr(f"greatest(c_s, p_s) div {cell_us}"))
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.expr(f"greatest(c_s, p_s) div {day_us}").alias("epoch_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.least(F.col("c_e"), F.col("p_e"))
+                - F.greatest(F.col("c_s"), F.col("p_s"))
+            ).cast("bigint").alias("total_overlap_us"),
+        )
+        .orderBy("epoch_day")
+    )

@@ -970,3 +970,99 @@ def pipe12_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipe13_neardup_decontaminated_split",
+    oracle=f"""
+    WITH {_DD2_CTES}, neardup AS (
+      SELECT doc1, doc2 FROM scored WHERE jaccard >= 0.5
+    ), sym AS (
+      SELECT doc1 AS v, doc2 AS w FROM neardup
+      UNION
+      SELECT doc2 AS v, doc1 AS w FROM neardup
+    ), split AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / {_HEX_MOD} < 0.9 AS is_train
+      FROM documents
+    ), bad AS (
+      SELECT DISTINCT s.v AS doc_id FROM sym s
+      JOIN split e ON s.w = e.doc_id AND NOT e.is_train
+    )
+    SELECT sp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE NOT is_train) AS BIGINT) AS n_eval,
+           CAST(COUNT(*) FILTER (WHERE is_train) AS BIGINT) AS n_train_raw,
+           CAST(COUNT(*) FILTER (WHERE is_train AND b.doc_id IS NOT NULL)
+                AS BIGINT) AS n_removed,
+           CAST(COUNT(*) FILTER (WHERE is_train AND b.doc_id IS NULL)
+                AS BIGINT) AS n_train_clean
+    FROM split sp LEFT JOIN bad b ON sp.doc_id = b.doc_id
+    GROUP BY sp.source ORDER BY sp.source
+    """,
+    tags=("pipeline", "decontamination", "dedup", "llm-pipeline"),
+    tables=("documents",),
+)
+def pipe13_neardup_decontaminated_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup-aware train/eval decontamination: split the corpus 90/10 by
+    the deterministic md5-hash rule (pipe4), then REMOVE from train every
+    doc that is a verified near-duplicate (dd2's capped LSH -> Jaccard >=
+    0.5) of ANY eval doc — the fuzzy-match complement of pipe5's exact
+    5-gram decontamination, closing the leak where an eval doc's
+    lightly-edited twin survives the n-gram gate and inflates benchmark
+    scores. Direct pairs only by design (no transitive closure): standard
+    eval decontamination removes eval-adjacent docs, not entire dup
+    clusters. Reported per source: split sizes, removals, and the clean
+    train count.
+
+    Scale posture: the near-dup adjacency is dd2's banded/capped candidate
+    machinery (never all-pairs); contamination is a semi-join of the
+    symmetrized edge list against the eval-id set, then an anti-join
+    against train — all equi joins on doc_id. The split itself is one
+    per-row Catalyst hash, reproducible across engines, runs, and retries.
+    """
+    from ..operators.dedup import minhash_lsh_scores
+    from .queries_dedup import DD2_MAX_BUCKET
+
+    docs = spark.table("documents")
+    split = docs.select(
+        "doc_id",
+        "source",
+        (_hash_frac(F.col("doc_id")) < 0.9).alias("is_train"),
+    )
+    pairs = (
+        minhash_lsh_scores(docs, max_bucket=DD2_MAX_BUCKET)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2")
+    )
+    adj = pairs.select(
+        F.col("doc1").alias("v"), F.col("doc2").alias("w")
+    ).unionByName(pairs.select(F.col("doc2").alias("v"), F.col("doc1").alias("w")))
+    eval_ids = split.filter(~F.col("is_train")).select(
+        F.col("doc_id").alias("w")
+    )
+    bad = (
+        adj.join(eval_ids, "w", "left_semi")
+        .select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("is_bad", F.lit(True))
+    )
+    return (
+        split.join(bad, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("is_train")).cast("bigint")).alias("n_eval"),
+            F.sum(F.col("is_train").cast("bigint")).alias("n_train_raw"),
+            F.sum(
+                (F.col("is_train") & F.col("is_bad").isNotNull()).cast("bigint")
+            ).alias("n_removed"),
+            F.sum(
+                (F.col("is_train") & F.col("is_bad").isNull()).cast("bigint")
+            ).alias("n_train_clean"),
+        )
+        .orderBy("source")
+    )
