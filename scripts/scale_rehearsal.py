@@ -33,7 +33,7 @@ Dial settings at 10× (each documented at its definition):
          passes no dial — it measures the shipped rule.
 
 Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm|streaming|
-100x|100xlsh|st11deep|fuzzy|ivf500k|sqlsf1|sim1m]`` — one size per
+100x|100xlsh|st11deep|fuzzy|ivf500k|sqlsf1|sim1m|docs1m]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
 /tmp/spark_graft_rehearsal). ``joins`` runs the TPC-H-ish join/agg family at
 1× and 10× in one invocation (10× fact tables derived from sf0.1 by
@@ -149,19 +149,21 @@ def gen_documents_dist(spark, n_docs: int, path: str) -> None:
     )
 
 
-def run_100x_mode(spark) -> None:
+def run_100x_mode(spark, sizes: dict[str, int] | None = None) -> None:
     """One 100x point (500k docs) for the two operators a 100 TB corpus
     leans on hardest: dd7 span postings and dd8's increment gate. The 10x
     point (50k docs) is re-measured with the SAME distributed generator so
     the printed growth ratio is apples-to-apples; a sublinear-in-data ratio
     (< 10 for 10x more docs) confirms the linear-postings claims
-    extrapolate."""
+    extrapolate. ``sizes`` overrides the decade pair (docs1m mode runs the
+    same family at a single 1M point); ``DOC_OPS`` (comma prefixes, like
+    LSH_OPS) restricts the op set for a fault-isolated rerun."""
     from pyspark.sql import functions as F
 
     from trafficanalysisbigdata_spark.operators import components
     from trafficanalysisbigdata_spark.operators import dedup as dd
 
-    sizes = {"10x": N_SMALL * SCALE, "100x": N_SMALL * SCALE * 10}
+    sizes = sizes or {"10x": N_SMALL * SCALE, "100x": N_SMALL * SCALE * 10}
     out: dict[str, dict[str, float]] = {}
     for tag, n in sizes.items():
         dp = f"{BASE}/docs_dist_{tag}"
@@ -199,6 +201,9 @@ def run_100x_mode(spark) -> None:
                 spark, "tx9_boilerplate_share", {"documents": docs_with_lang(docs)}
             ),
         }
+        sel = [x for x in os.environ.get("DOC_OPS", "").split(",") if x]
+        if sel:
+            ops = {k: v for k, v in ops.items() if any(k.startswith(x) for x in sel)}
         res = {}
         for name, fn in ops.items():
             fn().write.format("noop").mode("overwrite").save()  # warm codegen
@@ -210,9 +215,11 @@ def run_100x_mode(spark) -> None:
             res[name] = min(ts)  # min-of-2: discard roaming host stalls
             print(f"  {tag} {name}: {ts} -> {res[name]}s", file=sys.stderr, flush=True)
         out[tag] = res
-    ratios = {
-        k: round(out["100x"][k] / out["10x"][k], 2) for k in out["10x"]
-    }
+    ratios = (
+        {k: round(out["100x"][k] / out["10x"][k], 2) for k in out["10x"]}
+        if {"10x", "100x"} <= out.keys()
+        else {}
+    )
     print(json.dumps({"mode": "100x", "timings": out, "ratio_100x_vs_10x": ratios}))
 
 
@@ -1318,6 +1325,11 @@ def main() -> None:
         return
     if wanted == ["sqlsf1"]:
         run_sqlsf1_mode(spark)
+        return
+    if wanted == ["docs1m"]:
+        # the doc-postings family one decade past its 500k receipts
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        run_100x_mode(spark, sizes={"1m": 1_000_000})
         return
     if wanted == ["sim1m"]:
         # verdict r10 item #7: validate the adaptive-L 32-table step one

@@ -406,3 +406,26 @@ def test_j11_grid_join_no_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j11_interval_overlap_join")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "Generate explode" in plan or "Expand" in plan or "sequence" in plan
+
+
+def test_tx9_strategies_identical_and_big_path_joins(spark, sf_dir):
+    """tx9's two DF strategies (window vs pre-aggregated-DF join) must be
+    row-identical on the fixture, and the big-corpus path's plan must carry
+    an equi join on the shingle (the AQE-skew-splittable shape) with no
+    window over the postings."""
+    from trafficanalysisbigdata_spark.plans.queries_text import (
+        boilerplate_share_report,
+    )
+
+    queries()["tx9_boilerplate_share"]  # ensure registration intact
+    docs = spark.table("documents")
+    small = boilerplate_share_report(docs, False).collect()
+    big = boilerplate_share_report(docs, True).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, big))
+    plan = (
+        boilerplate_share_report(docs, True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition" not in plan

@@ -349,30 +349,47 @@ def tx9_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id)). The corpus size is a broadcast one-row aggregate. No pair
     joins anywhere — cost is linear in total postings.
 
-    Skew caveat for 100×: a window partition cannot be AQE-skew-split the
-    way a join can, so a boilerplate shingle holding 1% of a web corpus
-    lands on one task. At that scale compute the DF table once (groupBy has
-    map-side partial agg; persist it like the IVF index) and broadcast-join
-    it back — here the window wins because the corpus-wide DF fits one
-    exchange and the explode only runs once. Measured, not argued
-    (scripts/scale_rehearsal.py text, min-of-3, results bit-identical):
-    window 5.05s vs alternative 9.72s at 1× (5k docs), 3.11s vs 6.62s at
-    10× (50k docs) — the ~2× window advantage HOLDS at 10×, so the
-    alternative is strictly the skew escape hatch, not a scale upgrade."""
+    Skew: a window partition cannot be AQE-skew-split the way a join can,
+    so a boilerplate shingle held by a corpus fraction lands on ONE task.
+    Measured both ways across three decades (scripts/scale_rehearsal.py,
+    min-of-2/3, results bit-identical): the window wins ~2× at 5k-50k docs
+    (5.05 vs 9.72 s, 3.11 vs 6.62 s — one exchange, explode runs once) but
+    LOSES at 1M docs (74.9 s, 3.6× for 2× data past 500k — the round-11
+    docs1m rehearsal caught the hot-shingle task materializing), where the
+    DF-table formulation (groupBy shingle = map-side partial agg, then an
+    equi join AQE can skew-split and broadcast-when-small) stays linear.
+    The strategy auto-switches on corpus count at 200k docs — the count()
+    is a parquet-metadata-cheap action, the same adaptivity discipline as
+    dd5's two-level crossover (k >= 200). Both paths share every expression
+    and are pinned identical in tests/test_plans.py."""
+    docs = spark.table("documents")
+    return boilerplate_share_report(docs, docs.count() > 200_000)
+
+
+def boilerplate_share_report(docs: DataFrame, big_corpus: bool) -> DataFrame:
+    """tx9's body with the DF-strategy explicit (see tx9 docstring):
+    ``big_corpus=False`` scores document frequency with one window over the
+    postings exchange; ``True`` pre-aggregates the DF table and equi-joins
+    it back so AQE can skew-split the hot shingles."""
     from pyspark.sql import Window
 
     from ..functions.text import token_bigrams
 
-    docs = spark.table("documents")
     pairs = docs.select(
         "doc_id",
         "source",
         F.explode(F.array_distinct(token_bigrams(F.col("text")))).alias("shingle"),
     )
     n_corpus = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    if big_corpus:
+        dfreq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+        flagged = pairs.join(dfreq, "shingle")
+    else:
+        flagged = pairs.withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
     scored = (
-        pairs.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .crossJoin(F.broadcast(n_corpus))
+        flagged.crossJoin(F.broadcast(n_corpus))
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_sh"),
