@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "tx15_cross_source_contamination",
     "j11_interval_overlap_join",
     "pipe13_neardup_decontaminated_split",
+    "tx16_winnowing_fingerprints",
 ]
 
 

@@ -200,6 +200,11 @@ def run_100x_mode(spark, sizes: dict[str, int] | None = None) -> None:
             "tx9_boilerplate": _registered_over_view(
                 spark, "tx9_boilerplate_share", {"documents": docs_with_lang(docs)}
             ),
+            # winnowing: per-doc sliding window min (doc_id-partitioned, no
+            # hot key by construction) + dd7-style hash postings
+            "tx16_winnow": _registered_over_view(
+                spark, "tx16_winnowing_fingerprints", {"documents": docs_with_lang(docs)}
+            ),
         }
         sel = [x for x in os.environ.get("DOC_OPS", "").split(",") if x]
         if sel:

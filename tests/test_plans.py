@@ -429,3 +429,16 @@ def test_tx9_strategies_identical_and_big_path_joins(spark, sf_dir):
         .toString()
     )
     assert "windowspecdefinition" not in plan
+
+
+def test_tx16_winnow_is_codegen_window_not_lambda(spark, sf_dir):
+    """tx16: the winnow selection must be the explode + sliding-frame
+    window-min plan (whole-stage codegen), not interpreted array lambdas —
+    the plan carries a Window with a pos-ordered ROWS frame partitioned by
+    doc_id, and exactly one Generate (the posexplode)."""
+    plan = _plan(spark, sf_dir, "tx16_winnowing_fingerprints")
+    assert "Window" in plan
+    assert plan.count("Generate") >= 1
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "pos" in ln:
+            assert "doc_id" in ln.split("windowspecdefinition", 1)[1].split(",", 1)[0], ln

@@ -834,3 +834,151 @@ def tx15_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "tx16_winnowing_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source,
+             list_transform(
+               list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')),
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+      FROM documents
+    ), sel AS (
+      SELECT doc_id, source, len(h) AS n_grams,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 7, 0) + 1),
+               j -> list_min(list_transform(
+                 range(0, 8),
+                 i -> h[j + i] * 1048576 + (1048575 - (j + i - 1)))))) AS keys
+      FROM g
+    ), fp AS (
+      SELECT doc_id, source, UNNEST(keys) // 1048576 AS fph FROM sel
+    ), per_hash AS (
+      SELECT fph, COUNT(DISTINCT doc_id) AS n_docs FROM fp GROUP BY fph
+    ), doc_hash AS (
+      SELECT DISTINCT f.source, f.fph, ph.n_docs
+      FROM (SELECT DISTINCT source, fph FROM fp) f
+      JOIN per_hash ph USING (fph)
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(s.keys)) AS BIGINT) AS n_fps,
+           (SELECT COUNT(*) FROM doc_hash d WHERE d.source = s.source)
+             AS n_hashes,
+           (SELECT COUNT(*) FROM doc_hash d
+             WHERE d.source = s.source AND d.n_docs >= 2) AS n_shared,
+           ROUND(SUM(len(s.keys)) * 1.0 / NULLIF(SUM(s.n_grams), 0), 6)
+             AS density
+    FROM sel s GROUP BY s.source ORDER BY s.source
+    """,
+    tags=("text", "fingerprint", "winnowing", "llm-pipeline"),
+    tables=("documents",),
+)
+def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm — the rolling-hash fingerprinting standard for partial-overlap
+    detection): hash every 4-token gram, slide a window of 8 consecutive
+    gram hashes, and in each window SELECT the minimum hash, rightmost on
+    ties — guaranteeing any shared token run of >= k + w - 1 = 11 tokens
+    contributes at least one IDENTICAL selected fingerprint in both
+    documents, while storing only ~2/(w+1) of all gram hashes. Reported per
+    source: docs, selected-fingerprint positions, distinct hashes, hashes
+    shared with >= 2 docs corpus-wide (the partial-plagiarism signal tx5's
+    whole-document fingerprints cannot see), and the selection density.
+
+    Both the hash and the tie-break are engine-portable by construction:
+    gram hash = first 8 md5 hex digits as an integer (the repo's standard
+    cross-engine hash), and the rightmost-min selection is encoded
+    arithmetically — key = hash * 2^20 + (2^20 - 1 - absolute_position) —
+    so a single integer MIN implements "smallest hash, then rightmost
+    position" identically on both engines (position cap 2^20 grams/doc,
+    ~8 MB of text; document the cap rather than branch on it).
+
+    Scale posture: the window-min selection runs RELATIONALLY — gram
+    hashes explode to (doc, pos, h32) rows (the md5 expression evaluated
+    exactly once per gram) and each window's rightmost-min is a sliding
+    ROWS-frame MIN over pos, whole-stage-codegen the entire way. (The
+    array-lambda formulation was measured first: nested HOFs run
+    interpreted AND CollapseProject re-inlines the hash-array expression
+    into every lambda reference — 249 s at sf0.001 vs ~seconds here; the
+    explode+window shape is the fix, not a cache.) One exchange on doc_id
+    serves the count, the sliding min, and the per-doc rollup; the skinny
+    (source, hash) postings then follow dd7's distinct + partial-agg
+    posture. Docs under k+w-1 tokens legitimately carry zero fingerprints
+    and are kept in the per-source denominators via the left join."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_ngrams
+
+    enc = 1_048_576
+    hashed = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.transform(
+            token_ngrams(F.col("text"), 4),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        ).alias("h"),
+    )
+    base = hashed.select("doc_id", "source", F.size("h").alias("n_grams"))
+    posts = hashed.select(
+        "doc_id", "source", F.posexplode("h").alias("pos", "h32")
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_slide = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, 7)
+    )
+    scored = posts.select(
+        "doc_id",
+        "source",
+        "pos",
+        F.count(F.lit(1)).over(w_doc).alias("n_grams"),
+        F.min(F.col("h32") * enc + (F.lit(enc - 1) - F.col("pos"))).over(
+            w_slide
+        ).alias("k"),
+    )
+    valid = scored.filter(F.col("pos") <= F.col("n_grams") - 8)
+    per_doc = valid.groupBy("doc_id").agg(
+        F.countDistinct("k").alias("n_fp")
+    )
+    fp = (
+        valid.select(
+            "doc_id", "source", (F.col("k") / enc).cast("bigint").alias("fph")
+        )
+        .distinct()
+    )
+    per_hash = fp.groupBy("fph").agg(
+        F.countDistinct("doc_id").alias("n_docs_hash")
+    )
+    doc_hash = (
+        fp.select("source", "fph").distinct().join(per_hash, "fph")
+    )
+    hash_stats = doc_hash.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.sum((F.col("n_docs_hash") >= 2).cast("bigint")).alias("n_shared"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_fp"), F.lit(0)).cast("bigint").alias("n_fps"),
+            F.sum("n_grams").alias("sum_grams"),
+        )
+        .join(hash_stats, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_fps",
+            F.coalesce("n_hashes", F.lit(0)).cast("bigint").alias("n_hashes"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_fps") / F.nullif(F.col("sum_grams").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("density"),
+        )
+        .orderBy("source")
+    )
