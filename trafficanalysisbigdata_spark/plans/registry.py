@@ -91,6 +91,13 @@ class QuerySpec:
     tables: tuple[str, ...] = field(default_factory=tuple)
 
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Release the PREVIOUS query's tracked caches: by the time the next
+        # query starts, the prior result has been consumed by every harness
+        # (driver sweep included — it collects before moving on), and
+        # unpersist is correctness-neutral (the plan recomputes if re-read).
+        # This closes the cache-lifetime gap for harnesses that never call
+        # release_caches() themselves, e.g. the external driver.
+        release_caches()
         prep(spark)
         if self.tables:
             register_views(spark, sf_dir, *self.tables)
