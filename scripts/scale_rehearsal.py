@@ -33,7 +33,7 @@ Dial settings at 10× (each documented at its definition):
          passes no dial — it measures the shipped rule.
 
 Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm|streaming|
-100x|100xlsh|st11deep|fuzzy|ivf500k|sqlsf1|sim1m|docs1m]`` — one size per
+100x|100xlsh|st11deep|fuzzy|ivf500k|sqlsf1|sim1m|sim2m|docs1m]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
 /tmp/spark_graft_rehearsal). ``joins`` runs the TPC-H-ish join/agg family at
 1× and 10× in one invocation (10× fact tables derived from sf0.1 by
@@ -1335,6 +1335,14 @@ def main() -> None:
         # the doc-postings family one decade past its 500k receipts
         spark.conf.set("spark.sql.shuffle.partitions", "256")
         run_100x_mode(spark, sizes={"1m": 1_000_000})
+        return
+    if wanted == ["sim2m"]:
+        # half-decade past the 1M receipt: first corpus where the occupancy
+        # rule derives P=13 (2M/128 = 2^14, floor of log2 minus truncation),
+        # validating the 12->14 cap raise ahead of the load-bearing frontier
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        os.environ.setdefault("LSH_OPS", "sim3")
+        run_100x_lsh_mode(spark, sizes={"2m": 2_000_000})
         return
     if wanted == ["sim1m"]:
         # verdict r10 item #7: validate the adaptive-L 32-table step one
