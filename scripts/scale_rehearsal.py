@@ -205,6 +205,12 @@ def run_100x_mode(spark, sizes: dict[str, int] | None = None) -> None:
             "tx16_winnow": _registered_over_view(
                 spark, "tx16_winnowing_fingerprints", {"documents": docs_with_lang(docs)}
             ),
+            # bigram-Jaccard with the min(5%·n, 256) DF cap — the absolute
+            # bound rules past 5.1k docs, so 500k/1M walls measure the cap
+            # doing its job on a corpus 100x past where it was derived
+            "dd4_ngram_jaccard": _registered_over_view(
+                spark, "dd4_ngram_jaccard", {"documents": docs_with_lang(docs)}
+            ),
         }
         sel = [x for x in os.environ.get("DOC_OPS", "").split(",") if x]
         if sel:
@@ -1288,10 +1294,18 @@ def run_sqlsf1_mode(spark) -> None:
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    # REHEARSAL_SHUFFLE overrides the partition count for modes whose
+    # exchanges outgrow 64 partitions (the sim1m lesson: per-partition sort
+    # memory scales with rows/partition, so partition count must scale with
+    # the exchange — dd4's ~1e9-candidate join at 500k OOMs 48g heap at 64
+    # partitions and completes at 256)
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("scale-rehearsal")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("REHEARSAL_SHUFFLE", "64"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
