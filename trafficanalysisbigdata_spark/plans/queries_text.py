@@ -853,10 +853,10 @@ def tx15_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFra
                range(1, greatest(len(h) - 7, 0) + 1),
                j -> list_min(list_transform(
                  range(0, 8),
-                 i -> h[j + i] * 1048576 + (1048575 - (j + i - 1)))))) AS keys
+                 i -> h[j + i] * 2147483648 + (2147483647 - (j + i - 1)))))) AS keys
       FROM g
     ), fp AS (
-      SELECT doc_id, source, UNNEST(keys) // 1048576 AS fph FROM sel
+      SELECT doc_id, source, UNNEST(keys) // 2147483648 AS fph FROM sel
     ), per_hash AS (
       SELECT fph, COUNT(DISTINCT doc_id) AS n_docs FROM fp GROUP BY fph
     ), doc_hash AS (
@@ -893,10 +893,12 @@ def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both the hash and the tie-break are engine-portable by construction:
     gram hash = first 8 md5 hex digits as an integer (the repo's standard
     cross-engine hash), and the rightmost-min selection is encoded
-    arithmetically — key = hash * 2^20 + (2^20 - 1 - absolute_position) —
+    arithmetically — key = hash * 2^31 + (2^31 - 1 - absolute_position) —
     so a single integer MIN implements "smallest hash, then rightmost
-    position" identically on both engines (position cap 2^20 grams/doc,
-    ~8 MB of text; document the cap rather than branch on it).
+    position" identically on both engines. The 32-bit hash times 2^31 fills
+    the int64 exactly (max key = 2^63 - 1), and the 2^31-gram position
+    space is unreachable by any real document, so the encoding cannot
+    silently wrap.
 
     Scale posture: the window-min selection runs RELATIONALLY — gram
     hashes explode to (doc, pos, h32) rows (the md5 expression evaluated
@@ -914,7 +916,7 @@ def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import token_ngrams
 
-    enc = 1_048_576
+    enc = 2_147_483_648
     hashed = spark.table("documents").select(
         "doc_id",
         "source",
@@ -945,8 +947,10 @@ def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").alias("n_fp")
     )
     fp = (
+        # integer div, NOT `/`: double division of a near-2^63 key loses
+        # the hash's low bits past the 53-bit mantissa
         valid.select(
-            "doc_id", "source", (F.col("k") / enc).cast("bigint").alias("fph")
+            "doc_id", "source", F.expr(f"k div {enc}L").alias("fph")
         )
         .distinct()
     )
