@@ -1,0 +1,76 @@
+"""Dedup operator crossover pins (dd4's two candidate strategies).
+
+The dd4 oracle (tests/test_oracle_parity.py, driver) exercises the
+small-corpus shared-shingle plan; these tests pin the BIG-corpus MinHash
+candidate strategy set-identical to it on the fixtures, so the 100k-doc
+auto-switch cannot change results at the boundary, and pin the gate wiring
+itself (big_corpus=None counts; an explicit flag does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafficanalysisbigdata_spark.io import register_views
+from trafficanalysisbigdata_spark.operators.dedup import (
+    NGRAM_JACCARD_CROSSOVER_DOCS,
+    ngram_jaccard_scores,
+)
+from trafficanalysisbigdata_spark.session import prep
+
+
+def _pairs(docs, **kw):
+    return {
+        (r.doc1, r.doc2, round(r.jaccard, 6))
+        for r in ngram_jaccard_scores(docs, **kw)
+        .filter(F.col("jaccard") >= 0.25)
+        .collect()
+    }
+
+
+def test_ngram_jaccard_paths_identical_on_fixture(spark, sf_dir):
+    """Both candidate strategies — exhaustive shared-shingle and banded
+    MinHash over the same shingle sets — must produce the SAME verified
+    pair set on the fixture corpus. MinHash banding is md5-deterministic,
+    so this is a stable pin, not a flaky sample: L=16 single-row bands give
+    a qualifying pair at the 0.25 bar a 0.99 banding probability, and on
+    this corpus every qualifying pair lands (measured before pinning)."""
+    prep(spark)
+    register_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "n_chars", "text")
+    small = _pairs(docs, big_corpus=False)
+    big = _pairs(docs, big_corpus=True)
+    assert small  # fixture must produce pairs or the pin is vacuous
+    assert big == small
+
+
+def test_ngram_jaccard_autogate_counts_corpus(spark, sf_dir, monkeypatch):
+    """big_corpus=None must gate on one corpus count() (the tx9 discipline);
+    an explicit flag must never count. The crossover constant is the
+    measured ~10⁵ wall from the 500k rehearsal receipt. NOTE: patch the
+    CONCRETE class (type(docs), pyspark.sql.classic in Spark 4) — patching
+    the abstract pyspark.sql.DataFrame never intercepts instance calls."""
+    assert NGRAM_JACCARD_CROSSOVER_DOCS == 100_000
+    prep(spark)
+    register_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "n_chars", "text")
+    cls = type(docs)
+
+    calls = {"n": 0}
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    ngram_jaccard_scores(docs)  # auto gate: exactly one count action
+    assert calls["n"] == 1
+
+    def boom(self):
+        raise AssertionError("count() despite explicit big_corpus")
+
+    monkeypatch.setattr(cls, "count", boom)
+    for flag in (False, True):
+        out = ngram_jaccard_scores(docs, big_corpus=flag)
+        assert out.columns == ["doc1", "doc2", "jaccard"]

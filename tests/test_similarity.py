@@ -523,9 +523,10 @@ def test_lsh_n_rows_skips_count_job(spark, monkeypatch):
     trigger a corpus count() — at 100 TB that scalar is a full scan before
     any real work (round-8 verdict item). count() is poisoned for the
     duration; plan construction must still succeed and derive the same P
-    the count-based path would."""
-    from pyspark.sql import DataFrame
-
+    the count-based path would. NOTE: the poison must target the CONCRETE
+    class (type(df), pyspark.sql.classic in Spark 4) — patching the
+    abstract pyspark.sql.DataFrame never intercepts instance calls, which
+    left this test vacuous through round 11."""
     from trafficanalysisbigdata_spark.operators.similarity import (
         adaptive_n_planes,
         lsh_neardup_pairs,
@@ -540,7 +541,7 @@ def test_lsh_n_rows_skips_count_job(spark, monkeypatch):
     def _boom(self):
         raise AssertionError("count() job triggered despite n_rows")
 
-    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(type(df), "count", _boom)
     t = lsh_topk(df, df.limit(2), k=3, n_tables=4, dim=4, n_rows=50_000)
     p = lsh_neardup_pairs(df, 0.9, n_tables=4, dim=4, n_rows=50_000)
     # the fully-auto dial pair (P and L both None) must also build

@@ -238,18 +238,65 @@ def minhash_lsh_scores(
     return jaccard_scores(pairs, doc_token_arrays(docs, text_col))
 
 
+NGRAM_JACCARD_CROSSOVER_DOCS = 100_000
+
+
 def ngram_jaccard_scores(
     docs: DataFrame,
     max_df_frac: float = 0.05,
     max_df_abs: int = 256,
     max_delta_chars: int = 20,
     text_col: str = "text",
+    big_corpus: bool | None = None,
+    num_perm: int = 16,
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """The full n-gram-Jaccard near-dup pipeline as ONE reusable operator:
-    bigram postings → DF cap (min(frac·n, abs)) → shared-shingle candidates
-    blocked by |Δn_chars| → exact Jaccard over the FULL shingle sets.
+    """The full n-gram-Jaccard near-dup pipeline as ONE reusable operator.
     Returns (doc1, doc2, jaccard). Shared by the dd4 query and the scale
-    rehearsal (the source of the 45×-at-10× fraction-only-cap measurement)."""
+    rehearsal (the source of the 45×-at-10× fraction-only-cap measurement).
+
+    Two candidate strategies share the SAME verification (exact Jaccard over
+    the full bigram-shingle sets), auto-switched on corpus count at
+    ``NGRAM_JACCARD_CROSSOVER_DOCS`` when ``big_corpus`` is None — the tx9 /
+    dd5 crossover discipline applied to the round-11 finding that the
+    shared-shingle join is honestly superlinear (500k receipt: 14.1× wall
+    for 10× docs — Σ min(df, cap)² widens with the zipf mid-band even under
+    the df cap):
+
+    * small (≤ ~10⁵ docs): bigram postings → DF cap (min(frac·n, abs)) →
+      shared-shingle self-join blocked by |Δn_chars| — exhaustive candidates
+      at small scale, where the Σdf² term is still cheap.
+    * big: MinHash banding OVER THE SAME BIGRAM SHINGLE SETS (``num_perm``
+      single-row bands, per-bucket cap ``max_bucket``) → |Δn_chars| block.
+      Candidate volume is corpus-linear per band under the bucket cap; a
+      qualifying pair at Jaccard j is banded with prob 1−(1−j)^L — 0.99 at
+      the 0.25 bar with L=16 — and the selection is md5-deterministic, so
+      path equality on a given corpus is a stable pin, not a flaky sample
+      (tests pin both fixture corpora identical across paths).
+
+    The df cap only exists on the small path (it bounds the self-join);
+    verification always scores FULL shingle sets, so the big path can only
+    add pairs whose overlap is pure boilerplate — none exist on the pinned
+    fixtures."""
+    if big_corpus is None:
+        big_corpus = docs.count() > NGRAM_JACCARD_CROSSOVER_DOCS
+    if big_corpus:
+        sig = minhash_signatures(doc_shingle_sets(docs, text_col), num_perm=num_perm)
+        cand = lsh_candidate_pairs(
+            sig, num_perm=num_perm, rows_per_band=1, max_bucket=max_bucket
+        )
+        nc = docs.select("doc_id", "n_chars")
+        pairs = (
+            cand.join(
+                nc.withColumnsRenamed({"doc_id": "doc1", "n_chars": "nc1"}), "doc1"
+            )
+            .join(
+                nc.withColumnsRenamed({"doc_id": "doc2", "n_chars": "nc2"}), "doc2"
+            )
+            .filter(F.abs(F.col("nc1") - F.col("nc2")) <= max_delta_chars)
+            .select("doc1", "doc2")
+        )
+        return jaccard_scores(pairs, doc_shingle_arrays(docs, text_col))
     docs_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     sh = df_capped(
         doc_shingle_sets(docs, text_col), docs_total, max_df_frac, max_df_abs

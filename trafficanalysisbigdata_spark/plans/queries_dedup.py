@@ -221,7 +221,16 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rehearsal) with |Δn_chars| ≤ 20 as the blocking key, then exact set
     Jaccard ≥ 0.25 over the FULL shingle sets. At every driver test scale
     (≤ sf0.1) 0.05·n < 256, so the absolute bound changes nothing there.
-    Verification is per-pair ``array_intersect`` — no pairs×shingles explode."""
+    Verification is per-pair ``array_intersect`` — no pairs×shingles explode.
+
+    Past ~10⁵ docs the shared-shingle join is honestly superlinear even
+    capped (500k receipt: 14.1× for 10× — Σ min(df, 256)² widens with the
+    zipf mid-band), so ``ngram_jaccard_scores`` auto-switches candidates to
+    MinHash banding over the SAME bigram shingle sets at 100k docs
+    (count-gated like tx9; same exact-Jaccard verification; both paths
+    pinned identical on the fixtures in tests/test_dedup.py). Driver
+    corpora stay far under the gate, so oracle parity always exercises the
+    exhaustive small-corpus plan the SQL above mirrors."""
     docs = spark.table("documents").select("doc_id", "n_chars", "text")
     verified = ngram_jaccard_scores(docs, max_df_frac=0.05, max_df_abs=256).filter(
         F.col("jaccard") >= 0.25
