@@ -180,6 +180,9 @@ BENCH_QUERIES = [
     "j11_interval_overlap_join",
     "pipe13_neardup_decontaminated_split",
     "tx16_winnowing_fingerprints",
+    # round-12 additions (mlx8 excluded like mlx5-mlx7: its first pass pays
+    # a model fit, which would measure MLlib training, not engine throughput)
+    "mlx9_cv_fold_grid_contract",
 ]
 
 

@@ -253,3 +253,39 @@ def test_mlx6_decimal_mse_agrees_with_evaluator(spark, sf_dir):
         (F.sum(err * err).cast("double") / F.count(F.lit(1))).alias("mse_dec")
     ).collect()[0]
     assert abs(row.mse_dec - r["mse"]) <= 1e-4 * max(1.0, r["mse"])
+
+
+def test_mlx8_decimal_mse_agrees_with_evaluator(spark, sf_dir):
+    """mlx8 reports M6's MSE recomputed from DECIMAL(18,6)-cast predictions;
+    like mlx6 it must agree with the evaluator's double-precision MSE on the
+    same predictions to well inside the cast's quantization."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.io import register_views
+    from trafficanalysisbigdata_spark.ml.models import gbt_regression
+    from trafficanalysisbigdata_spark.session import prep
+
+    prep(spark)
+    register_views(spark, sf_dir, "events")
+    r = gbt_regression(spark.table("events"))
+    err = F.col("total").cast("decimal(18,6)") - F.col("prediction").cast(
+        "decimal(18,6)"
+    )
+    row = r["pred"].agg(
+        (F.sum(err * err).cast("double") / F.count(F.lit(1))).alias("mse_dec")
+    ).collect()[0]
+    assert abs(row.mse_dec - r["mse"]) <= 1e-4 * max(1.0, r["mse"])
+
+
+def test_mlx9_grid_matches_ml9_sweep():
+    """mlx9's contract grid and ml9's swept grid derive from the same
+    constants; the registered oracle's VALUES clause must contain exactly
+    that cross product, so neither can drift from the other."""
+    from trafficanalysisbigdata_spark.ml import models
+    from trafficanalysisbigdata_spark.plans.registry import load_all
+
+    oracle = load_all()["mlx9_cv_fold_grid_contract"].oracle
+    for t in models.CV_NUM_TREES:
+        for d in models.CV_MAX_DEPTH:
+            assert f"({t}, {d})" in oracle
+    assert f"% {models.CV_NUM_FOLDS} AS fold" in oracle

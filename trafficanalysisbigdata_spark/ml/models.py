@@ -28,6 +28,13 @@ from ..functions.timeparts import with_time_parts
 
 SEED = 42
 
+# ml9's hyperparameter grid, shared with mlx9's value-checked fold/grid
+# contract (the oracle's VALUES clause is generated from these, so the swept
+# grid and the checked grid cannot drift apart).
+CV_NUM_TREES = (20, 50)
+CV_MAX_DEPTH = (3, 5)
+CV_NUM_FOLDS = 3
+
 
 def feature_frame(events: DataFrame) -> DataFrame:
     """The reference's feature block (TrafficAnalysis.py:80-84) on events:
@@ -229,7 +236,9 @@ def gbt_regression(events: DataFrame) -> dict:
     mse = RegressionEvaluator(
         labelCol="total", predictionCol="prediction", metricName="mse"
     ).evaluate(pred)
-    return {"model": model, "mse": mse, "n_test": pred.count()}
+    # pred rides along for mlx8's persisted-residuals artifact (the mlx6
+    # pattern applied to M6)
+    return {"model": model, "mse": mse, "n_test": pred.count(), "pred": pred}
 
 
 def quality_label_frame(docs: DataFrame) -> DataFrame:
@@ -339,8 +348,8 @@ def tuned_rf_regression(events: DataFrame) -> dict:
     pipe = Pipeline(stages=[assembler, rf])
     grid = (
         ParamGridBuilder()
-        .addGrid(rf.numTrees, [20, 50])
-        .addGrid(rf.maxDepth, [3, 5])
+        .addGrid(rf.numTrees, list(CV_NUM_TREES))
+        .addGrid(rf.maxDepth, list(CV_MAX_DEPTH))
         .build()
     )
     evaluator = RegressionEvaluator(
@@ -350,7 +359,7 @@ def tuned_rf_regression(events: DataFrame) -> dict:
         estimator=pipe,
         estimatorParamMaps=grid,
         evaluator=evaluator,
-        numFolds=3,
+        numFolds=CV_NUM_FOLDS,
         parallelism=2,
         seed=SEED,
     )

@@ -24,6 +24,13 @@ under the same driver-value-checked regime as the rest of the engine:
   persisted once as exact decimals, with the downstream ranking /
   normalization (rank, share, cumulative share) value-checked on both
   engines against that artifact.
+* mlx8 — the mlx6 residual-metrics pattern applied to M6's boosted-tree
+  fit (persisted decimal predictions → exact n/MSE/MAE).
+* mlx9 — ml9's fold × grid work plan as a value-checked contract: the
+  swept hyperparameter grid (generated from the same models.CV_* constants
+  ml9 uses) crossed with an md5-deterministic k-fold assignment, with
+  train/val sizes and exact label mass per fold-run checked on both
+  engines — only the fold FITS remain rows-only.
 
 Scale posture: mlx1–mlx4 are single partial/final aggregations over one
 scan (the stats/threshold rows broadcast back, never a driver loop);
@@ -54,6 +61,7 @@ _MLX_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_mlx")
 _CONF_DIR = os.path.join(_MLX_ROOT, "volume_confusion")
 _RESID_DIR = os.path.join(_MLX_ROOT, "rf_residuals")
 _IMP_DIR = os.path.join(_MLX_ROOT, "rf_importances")
+_GBT_DIR = os.path.join(_MLX_ROOT, "gbt_residuals")
 
 
 def _source_stamp(sf_dir: str, table: str) -> str:
@@ -397,4 +405,121 @@ def mlx7_importance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
         .orderBy("imp_rank")
+    )
+
+# --- mlx8: persisted-predictions residual metrics (M6 GBT) -------------------
+
+
+@register(
+    "mlx8_gbt_residuals",
+    oracle=f"""
+    SELECT COUNT(*) AS n_test,
+           ROUND(CAST(SUM((total_dec - pred_dec) * (total_dec - pred_dec))
+                      AS DOUBLE) / COUNT(*), 6) AS mse,
+           ROUND(CAST(SUM(ABS(total_dec - pred_dec)) AS DOUBLE) / COUNT(*), 6)
+             AS mae
+    FROM read_parquet('{_GBT_DIR}/*.parquet')
+    """,
+    tags=("mlx", "ml", "M6", "metrics", "persisted"),
+    tables=("events",),
+)
+def mlx8_gbt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6's boosted-tree regression metrics recomputed from persisted
+    predictions — the mlx6 pattern applied to the GBT fit (round-11 verdict
+    item #5): the seed-pinned model fits ONCE per source stamp, its held-out
+    (total, prediction) rows persist as DECIMAL(18,6) (exact on both
+    engines; raw doubles would make the sums order-dependent), and both
+    engines compute n/MSE/MAE from that same artifact. This leaves only the
+    raw GBT fit itself range-gated (tests/test_ml.py); every metric ml6
+    reports is now value-checked arithmetic."""
+    _ensure_artifact(
+        _GBT_DIR,
+        _source_stamp(sf_dir, "events"),
+        lambda: models.gbt_regression(spark.table("events"))["pred"].select(
+            F.col("total").cast("decimal(18,6)").alias("total_dec"),
+            F.col("prediction").cast("decimal(18,6)").alias("pred_dec"),
+        ),
+    )
+    pred = spark.read.parquet(_GBT_DIR)
+    err = F.col("total_dec") - F.col("pred_dec")
+    n = F.count(F.lit(1))
+    return pred.agg(
+        n.alias("n_test"),
+        F.round(F.sum(err * err).cast("double") / n, 6).alias("mse"),
+        F.round(F.sum(F.abs(err)).cast("double") / n, 6).alias("mae"),
+    )
+
+
+# --- mlx9: deterministic CV fold x grid contract (ml9) -----------------------
+
+_CV_GRID_VALUES = ", ".join(
+    f"({t}, {d})" for t in models.CV_NUM_TREES for d in models.CV_MAX_DEPTH
+)
+
+
+@register(
+    "mlx9_cv_fold_grid_contract",
+    oracle=f"""
+    WITH f AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))::BIGINT
+               % {models.CV_NUM_FOLDS} AS fold,
+             value
+      FROM events
+    ), agg AS (
+      SELECT fold, COUNT(*) AS n_val,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+      FROM f GROUP BY fold
+    ), tot AS (SELECT COUNT(*) AS n FROM events),
+    grid AS (
+      SELECT * FROM (VALUES {_CV_GRID_VALUES}) AS g(num_trees, max_depth)
+    )
+    SELECT g.num_trees, g.max_depth, a.fold,
+           (t.n - a.n_val) AS n_train, a.n_val, a.sum_val
+    FROM grid g CROSS JOIN agg a CROSS JOIN tot t
+    ORDER BY g.num_trees, g.max_depth, a.fold
+    """,
+    tags=("mlx", "ml", "tuning", "cv", "split"),
+    tables=("events",),
+)
+def mlx9_cv_fold_grid_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml9's fold x grid plan as a value-checked contract (round-11 verdict
+    item #5): the hyperparameter grid (generated from the SAME
+    models.CV_NUM_TREES/CV_MAX_DEPTH constants ml9 sweeps, so swept and
+    checked grids cannot drift) crossed with an md5-deterministic k-fold
+    assignment (first md5 hex byte of event_id mod k — the mlx4 discipline:
+    reproducible on any engine, partitioning, or row order, which
+    CrossValidator's rand-column folds cannot promise), reporting each
+    fold-run's train/validation sizes and exact label mass. This is the
+    work plan a distributed CV executes — grid x folds fit jobs over pinned
+    partitions — with everything except the fits themselves value-checked.
+    Scale: one partial/final agg over events plus a broadcast of the
+    |grid| x k contract rows."""
+    ev = spark.table("events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+        % models.CV_NUM_FOLDS
+    )
+    agg = (
+        ev.select(fold.alias("fold"), "value")
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_val"), sum_exact("value", "sum_val"))
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.createDataFrame(
+        [(t, d) for t in models.CV_NUM_TREES for d in models.CV_MAX_DEPTH],
+        "num_trees int, max_depth int",
+    )
+    return (
+        grid.crossJoin(agg)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "num_trees",
+            "max_depth",
+            "fold",
+            (F.col("n") - F.col("n_val")).alias("n_train"),
+            "n_val",
+            "sum_val",
+        )
+        .orderBy("num_trees", "max_depth", "fold")
     )
