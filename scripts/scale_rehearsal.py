@@ -33,7 +33,8 @@ Dial settings at 10× (each documented at its definition):
          passes no dial — it measures the shipped rule.
 
 Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm|streaming|
-100x|100xlsh|st11deep|fuzzy|ivf500k|sqlsf1|sim1m|sim2m|docs1m]`` — one size per
+100x|100xlsh|st11deep|fuzzy|ivf500k|sqlsf1|sim1m|sim2m|docs1m|r12dd4pipe|
+sim4auto1m]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
 /tmp/spark_graft_rehearsal). ``joins`` runs the TPC-H-ish join/agg family at
 1× and 10× in one invocation (10× fact tables derived from sf0.1 by
@@ -1291,6 +1292,161 @@ def run_sqlsf1_mode(spark) -> None:
     }))
 
 
+def run_r12_dd4_pipe_mode(spark) -> None:
+    """Round-12 receipts: dd4's candidate-strategy crossover (auto gate at
+    100k docs — 50k runs the exhaustive shared-shingle path, 500k the
+    MinHash-banded path, both through the REGISTERED query) and the first
+    composite-level 500k receipts for pipe12/pipe13 with the per-stage
+    split (edges / connected components / full composite) the r11 verdict
+    asked for (items #4 and #6)."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators import components
+    from trafficanalysisbigdata_spark.operators import dedup as dd
+    from trafficanalysisbigdata_spark.plans.queries_dedup import DD2_MAX_BUCKET
+
+    def timed(fn, passes=2):
+        fn().write.format("noop").mode("overwrite").save()  # warm codegen
+        ts = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 2))
+        return min(ts)
+
+    out: dict[str, dict] = {}
+    for tag, n in (("10x", 50_000), ("100x", 500_000)):
+        dp = f"{BASE}/docs_dist_{tag}"
+        if not os.path.exists(f"{dp}/_SUCCESS"):
+            gen_documents_dist(spark, n, dp)
+        docs = spark.read.parquet(dp)
+        res: dict[str, float] = {}
+        res["dd4_registered_auto"] = timed(
+            _registered_over_view(
+                spark, "dd4_ngram_jaccard", {"documents": docs_with_lang(docs)}
+            )
+        )
+        print(f"  {tag} dd4_registered_auto: {res['dd4_registered_auto']}s",
+              file=sys.stderr, flush=True)
+        if tag == "10x":
+            # equality receipt one decade past the fixtures: both candidate
+            # strategies must agree on (n_neardup, sum_jaccard) at 50k
+            def agg_row(big):
+                return (
+                    dd.ngram_jaccard_scores(docs, big_corpus=big)
+                    .filter(F.col("jaccard") >= 0.25)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.round(F.sum("jaccard"), 4).alias("s"),
+                    )
+                    .collect()[0]
+                )
+            a, b = agg_row(False), agg_row(True)
+            res["dd4_n_neardup_small"] = int(a.n)
+            res["dd4_n_neardup_big"] = int(b.n)
+            res["dd4_paths_equal"] = bool(
+                a.n == b.n and abs((a.s or 0.0) - (b.s or 0.0)) < 1e-6
+            )
+            # the forced-big timing at 50k, for the crossover curve
+            res["dd4_forced_big"] = timed(
+                lambda: dd.ngram_jaccard_scores(docs, big_corpus=True)
+                .filter(F.col("jaccard") >= 0.25)
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            print(f"  10x dd4 equality: {res['dd4_paths_equal']} "
+                  f"(n={res['dd4_n_neardup_small']}/{res['dd4_n_neardup_big']}), "
+                  f"forced_big {res['dd4_forced_big']}s",
+                  file=sys.stderr, flush=True)
+        if tag == "100x":
+            # pipe12/pipe13 composite receipts with the per-stage split:
+            # stage 1 (shared): dd2 capped-LSH verified edges; stage 2
+            # (pipe12): iterative CC over those edges; then each full
+            # registered composite.
+            dl = docs_with_lang(docs)
+            edges = (
+                dd.minhash_lsh_scores(dl, max_bucket=DD2_MAX_BUCKET)
+                .filter(F.col("jaccard") >= 0.5)
+                .select("doc1", "doc2")
+            )
+            res["stage_dd2_edges"] = timed(lambda: edges)
+            t0 = time.perf_counter()
+            n_comp = (
+                components.connected_components(edges)
+                .select(F.countDistinct("component"))
+                .collect()[0][0]
+            )
+            res["stage_cc_over_edges"] = round(time.perf_counter() - t0, 2)
+            res["n_components"] = int(n_comp)
+            res["pipe12_composite"] = timed(
+                _registered_over_view(
+                    spark, "pipe12_cluster_canonicalize", {"documents": dl}
+                )
+            )
+            res["pipe13_composite"] = timed(
+                _registered_over_view(
+                    spark,
+                    "pipe13_neardup_decontaminated_split",
+                    {"documents": dl},
+                )
+            )
+            print(f"  100x stages: edges {res['stage_dd2_edges']}s, "
+                  f"cc {res['stage_cc_over_edges']}s ({n_comp} comps), "
+                  f"pipe12 {res['pipe12_composite']}s, "
+                  f"pipe13 {res['pipe13_composite']}s",
+                  file=sys.stderr, flush=True)
+        out[tag] = res
+    print(json.dumps({"mode": "r12dd4pipe", "timings": out}))
+
+
+def run_sim4_auto_1m_mode(spark) -> None:
+    """Round-12 receipt (verdict item #1): the PUBLIC lsh_neardup_pairs
+    entrypoint at 1M vectors with default budget — must auto-route through
+    the staged path (work_dir table groups), complete, and match the r11
+    explicit-staged run's truth numbers (twin recall 1.000, ~169M pairs)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators import similarity as sim
+
+    n = 1_000_000
+    ep = f"{BASE}/emb_dist_1m"
+    if not os.path.exists(f"{ep}/_SUCCESS"):
+        gen_embeddings_dist(spark, n, ep)
+    emb = spark.read.parquet(ep)
+    wd = f"{BASE}/sim4_auto_1m"
+    shutil.rmtree(wd, ignore_errors=True)
+    shutil.rmtree(f"{wd}_final", ignore_errors=True)
+    res: dict = {}
+    t0 = time.perf_counter()
+    pairs = sim.lsh_neardup_pairs(
+        emb, 0.8, n_tables=None, dim=DIM, max_bucket=1024, n_rows=n,
+        work_dir=wd,
+    )
+    groups = sorted(os.listdir(wd)) if os.path.exists(wd) else []
+    res["auto_staged"] = bool(groups)
+    res["n_groups"] = len(groups)
+    pairs.write.mode("overwrite").parquet(f"{wd}_final")
+    res["wall_s"] = round(time.perf_counter() - t0, 2)
+    print(f"  sim4 auto 1M: staged={res['auto_staged']} groups={groups[:3]}..."
+          f" wall={res['wall_s']}s", file=sys.stderr, flush=True)
+    final = spark.read.parquet(f"{wd}_final")
+    n_base = int(n * 0.95)
+    expected = (
+        spark.range(n_base, n)
+        .select(
+            F.least((F.col("id") * 40503) % n_base, F.col("id")).alias("id1"),
+            F.greatest((F.col("id") * 40503) % n_base, F.col("id")).alias("id2"),
+        )
+        .distinct()
+    )
+    found = expected.join(final.select("id1", "id2"), ["id1", "id2"], "left_semi")
+    n_exp = expected.count()
+    res["twin_recall"] = round(found.count() / max(1, n_exp), 3)
+    res["pairs_out"] = final.count()
+    print(json.dumps({"mode": "sim4auto1m", **res}))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -1344,6 +1500,16 @@ def main() -> None:
         return
     if wanted == ["sqlsf1"]:
         run_sqlsf1_mode(spark)
+        return
+    if wanted == ["r12dd4pipe"]:
+        # 256 partitions: dd4's 50k small-path join and the 500k dd2-edge
+        # stage both outgrow 64 (the sim1m lesson)
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        run_r12_dd4_pipe_mode(spark)
+        return
+    if wanted == ["sim4auto1m"]:
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        run_sim4_auto_1m_mode(spark)
         return
     if wanted == ["docs1m"]:
         # the doc-postings family one decade past its 500k receipts

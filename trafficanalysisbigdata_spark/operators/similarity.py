@@ -551,7 +551,11 @@ def lsh_neardup_pairs_staged(
     aggregate shuffle space is the scarce resource, checkpointing stage
     boundaries beats one giant exchange. The extra cost is re-verifying
     pairs that collide in multiple groups (the single-pass distinct dedups
-    them pre-score); group_size trades that against peak disk.
+    them pre-score); group_size trades that against peak disk. Per-group
+    SCORING broadcasts the prenormed frame up to 2× ``broadcast_budget_mb``
+    (see the inline note): the candidate-state memory staging frees hosts
+    the larger broadcast, keeping scoring map-side one binary decade past
+    the routing frontier — the receipted 1M posture.
 
     Only the pair LIST needs this; collapse consumers (dd5/sim8/components)
     stay on the single-pass operator whose output never materializes
@@ -570,6 +574,17 @@ def lsh_neardup_pairs_staged(
     paths = []
     for off in range(0, n_tables, group_size):
         g = min(group_size, n_tables - off)
+        # Scoring budget is 2× the routing budget: single-pass must hold the
+        # vector broadcast AND the full-L candidate state simultaneously,
+        # while a staged group holds only gs/L of the candidate state — the
+        # freed executor headroom hosts the larger broadcast. This is what
+        # keeps per-group scoring MAP-SIDE one binary decade past the
+        # routing frontier (receipted: the r11 1M×64-d run broadcast the
+        # 560 MB prenormed frame on a 48 GB-heap host; unhinted, each
+        # group's second scoring join sorts a ~275 GB vector-widened
+        # intermediate — a DNF, not a slowdown). Past 2× the budget the
+        # unhinted plan stands, and the documented dials (threshold,
+        # max_bucket, collapse consumers) are the pair-list contract.
         part = _lsh_pairs_single_pass(
             corpus,
             threshold,
@@ -581,7 +596,7 @@ def lsh_neardup_pairs_staged(
             max_bucket,
             n_known,
             off,
-            broadcast_budget_mb,
+            broadcast_budget_mb * 2,
         ).select("id1", "id2", "cos")
         p = f"{work_dir}/tables_{off:04d}"
         part.write.mode("overwrite").parquet(p)
