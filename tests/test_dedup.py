@@ -74,3 +74,29 @@ def test_ngram_jaccard_autogate_counts_corpus(spark, sf_dir, monkeypatch):
     for flag in (False, True):
         out = ngram_jaccard_scores(docs, big_corpus=flag)
         assert out.columns == ["doc1", "doc2", "jaccard"]
+
+
+def test_ngram_jaccard_big_path_has_no_token_self_join(spark, sf_dir):
+    """Plan guard for the crossover's scale claim: the big-corpus path's
+    candidate join must key on the MinHash (band, bucket) — corpus-linear
+    per band under the bucket cap — and must NOT contain the shared-token
+    postings self-join (the Σ min(df,cap)² shape measured 14.1× for 10× at
+    500k). The small path keeps exactly that token-keyed join."""
+    prep(spark)
+    register_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "n_chars", "text")
+
+    def join_lines(big):
+        plan = (
+            ngram_jaccard_scores(docs, big_corpus=big)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return [ln for ln in plan.splitlines() if "Join" in ln]
+
+    big = join_lines(True)
+    assert not any("token#" in ln for ln in big), big
+    assert any("band#" in ln and "bucket#" in ln for ln in big), big
+    small = join_lines(False)
+    assert any("token#" in ln for ln in small), small
