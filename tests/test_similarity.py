@@ -750,3 +750,33 @@ def test_staged_pairs_validates_group_size(spark, sf_dir, tmp_path):
                 n_rows=100,
                 group_size=bad,
             )
+
+
+def test_staged_groups_score_at_double_budget(spark, sf_dir, tmp_path, monkeypatch):
+    """The staged path must hand each group pass 2x the routing budget (the
+    candidate-state headroom staging frees hosts the scoring broadcast —
+    the receipted 1M posture). Captured via the group-pass entrypoint."""
+    from trafficanalysisbigdata_spark.operators import similarity as sim
+
+    prep(spark)
+    register_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    seen = []
+    orig = sim._lsh_pairs_single_pass
+
+    def capture(*args):
+        seen.append(args[-1])  # broadcast_budget_mb positional tail
+        return orig(*args)
+
+    monkeypatch.setattr(sim, "_lsh_pairs_single_pass", capture)
+    sim.lsh_neardup_pairs_staged(
+        emb,
+        0.3,
+        work_dir=str(tmp_path / "b"),
+        n_tables=4,
+        n_planes=4,
+        n_rows=100,
+        group_size=2,
+        broadcast_budget_mb=300,
+    )
+    assert seen == [600, 600]
