@@ -313,7 +313,8 @@ def mlx5_confusion_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mlx6_regression_residuals",
     oracle=f"""
     SELECT COUNT(*) AS n_test,
-           ROUND(CAST(SUM((value_dec - pred_dec) * (value_dec - pred_dec))
+           ROUND(CAST(SUM(CAST(value_dec - pred_dec AS DECIMAL(19,6))
+                          * CAST(value_dec - pred_dec AS DECIMAL(19,6)))
                       AS DOUBLE) / COUNT(*), 6) AS mse,
            ROUND(CAST(SUM(ABS(value_dec - pred_dec)) AS DOUBLE) / COUNT(*), 6)
              AS mae
@@ -339,7 +340,10 @@ def mlx6_regression_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pred = spark.read.parquet(_RESID_DIR)
-    err = F.col("value_dec") - F.col("pred_dec")
+    # same exactness hardening as mlx8: square at (16,6)² → (33,12) exact on
+    # both engines (the (18,6)² form risks DuckDB int64 overflow at larger
+    # SFs and Spark precision-loss truncation at scale 11)
+    err = (F.col("value_dec") - F.col("pred_dec")).cast("decimal(16,6)")
     n = F.count(F.lit(1))
     return pred.agg(
         n.alias("n_test"),
@@ -414,7 +418,8 @@ def mlx7_importance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mlx8_gbt_residuals",
     oracle=f"""
     SELECT COUNT(*) AS n_test,
-           ROUND(CAST(SUM((total_dec - pred_dec) * (total_dec - pred_dec))
+           ROUND(CAST(SUM(CAST(total_dec - pred_dec AS DECIMAL(19,6))
+                          * CAST(total_dec - pred_dec AS DECIMAL(19,6)))
                       AS DOUBLE) / COUNT(*), 6) AS mse,
            ROUND(CAST(SUM(ABS(total_dec - pred_dec)) AS DOUBLE) / COUNT(*), 6)
              AS mae
@@ -441,7 +446,13 @@ def mlx8_gbt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pred = spark.read.parquet(_GBT_DIR)
-    err = F.col("total_dec") - F.col("pred_dec")
+    # square at DECIMAL(16,6)×DECIMAL(16,6) → (33,12), EXACT on both engines:
+    # the naive (18,6) square overflows DuckDB's int64 decimal kernel at
+    # sf0.01's daily-total residual magnitudes (caught by the r12 verify
+    # sweep), and Spark's own (19,6)² would precision-loss-truncate to scale
+    # 11 — both hazards die with the explicit narrower-width cast (err ≪
+    # 10^10, so (16,6) loses nothing).
+    err = (F.col("total_dec") - F.col("pred_dec")).cast("decimal(16,6)")
     n = F.count(F.lit(1))
     return pred.agg(
         n.alias("n_test"),
