@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     # round-12 additions (mlx8 excluded like mlx5-mlx7: its first pass pays
     # a model fit, which would measure MLlib training, not engine throughput)
     "mlx9_cv_fold_grid_contract",
+    "pipe14_containment_leak_scan",
 ]
 
 

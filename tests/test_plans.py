@@ -448,3 +448,14 @@ def test_tx16_winnow_is_codegen_window_not_lambda(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert "specifiedwindowframe(RowFrame, currentrow" in ln, ln
+
+
+def test_pipe14_no_cartesian_and_pair_state_is_aggregated(spark, sf_dir):
+    """pipe14's only pair-shaped state must be the (e, t) count aggregate fed
+    by one token equi-join — no cartesian/nested-loop join anywhere except
+    df_capped's 1-row broadcast corpus-total (BroadcastNestedLoopJoin with a
+    single-row build, the engine's scalar idiom)."""
+    plan = _plan(spark, sf_dir, "pipe14_containment_leak_scan")
+    assert "CartesianProduct" not in plan, plan
+    # partial+final aggregation pairs exist for the (e, t) candidate count
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -1066,3 +1066,109 @@ def pipe13_neardup_decontaminated_split(
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipe14_containment_leak_scan",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / {_HEX_MOD} < 0.9 AS is_train
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                                   i -> string_split(text, ' ')[i] || ' ' ||
+                                        string_split(text, ' ')[i+1])) AS token
+      FROM documents
+    ), ev AS (
+      SELECT sh.doc_id AS e, sh.token
+      FROM sh JOIN split s USING (doc_id) WHERE NOT s.is_train
+    ), n_ev AS (SELECT COUNT(DISTINCT e) AS n_eval FROM ev),
+    keep AS (
+      SELECT token
+      FROM (SELECT token, COUNT(*) AS df FROM ev GROUP BY token), n_ev
+      WHERE df <= LEAST(0.05 * n_eval, 256)
+    ), evc AS (SELECT ev.* FROM ev JOIN keep USING (token)),
+    sizes AS (SELECT e, COUNT(*) AS n_e FROM evc GROUP BY e),
+    tr AS (
+      SELECT sh.doc_id AS t, sh.token
+      FROM sh JOIN split s USING (doc_id) WHERE s.is_train
+    ), common AS (
+      SELECT evc.e, tr.t, COUNT(*) AS n_common
+      FROM evc JOIN tr USING (token) GROUP BY evc.e, tr.t
+    ), best AS (
+      SELECT c.e, MAX(CAST(n_common AS DOUBLE) / z.n_e) AS max_cont
+      FROM common c JOIN sizes z ON c.e = z.e GROUP BY c.e
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_scored,
+           CAST(SUM(CASE WHEN max_cont >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked,
+           ROUND(SUM(max_cont), 4) AS sum_max_containment
+    FROM best b JOIN split s ON b.e = s.doc_id
+    GROUP BY s.source ORDER BY s.source
+    """,
+    tags=("pipeline", "decontamination", "containment", "llm-pipeline"),
+    tables=("documents",),
+)
+def pipe14_containment_leak_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment leak scan — the third decontamination tier
+    after pipe5 (exact 5-gram overlap) and pipe13 (symmetric near-dup):
+    for each eval doc, the MAX over train docs of containment
+    |S_e ∩ S_t| / |S_e| over df-capped bigram shingle sets. Containment is
+    the signal symmetric Jaccard structurally misses: a short eval doc
+    quoted whole inside a long train doc has Jaccard ≈ |e|/|t| (→ 0) but
+    containment ≈ 1 — the classic subset-duplication leak. Reported per
+    source: eval docs scored, docs leaked at the 0.8 bar, and the summed
+    max-containment mass. Eval docs sharing NO capped shingle with any
+    train doc carry zero leak signal and drop out of the scored set;
+    boilerplate shingles (df > min(5% of eval docs, 256) WITHIN the eval
+    side) are excluded from both numerator and denominator, so ubiquity
+    cannot manufacture containment.
+
+    Scale posture: the only pair-shaped state is the (eval, train)
+    candidate aggregate, whose fan-out per train posting row is bounded by
+    the EVAL-side df cap (≤ 256) — and the eval side is benchmark-sized by
+    contract (the fixture's 10% split is its ceiling), so at 100 TB the
+    capped eval postings are the broadcast side of one equi join and the
+    (e, t) count partial-aggregates map-side. No train×train pair ever
+    materializes; train cost is one postings explode, the same scan dd7
+    receipts to 1M."""
+    from ..operators.dedup import df_capped, doc_shingle_sets
+
+    docs = spark.table("documents")
+    split = docs.select(
+        "doc_id",
+        "source",
+        (_hash_frac(F.col("doc_id")) < 0.9).alias("is_train"),
+    )
+    sh = doc_shingle_sets(docs).join(split.select("doc_id", "is_train"), "doc_id")
+    ev = sh.filter(~F.col("is_train")).select("doc_id", "token")
+    n_ev = ev.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    evc = df_capped(ev, n_ev, 0.05, 256).withColumnRenamed("doc_id", "e")
+    sizes = evc.groupBy("e").agg(F.count(F.lit(1)).alias("n_e"))
+    tr = sh.filter(F.col("is_train")).select(F.col("doc_id").alias("t"), "token")
+    common = (
+        tr.join(evc, "token")
+        .groupBy("e", "t")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    best = (
+        common.join(sizes, "e")
+        .groupBy("e")
+        .agg(
+            F.max(F.col("n_common").cast("double") / F.col("n_e")).alias("max_cont")
+        )
+    )
+    return (
+        best.join(split.select(F.col("doc_id").alias("e"), "source"), "e")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_scored"),
+            F.sum((F.col("max_cont") >= 0.8).cast("bigint")).alias("n_leaked"),
+            F.round(F.sum("max_cont"), 4).alias("sum_max_containment"),
+        )
+        .orderBy("source")
+    )
