@@ -44,10 +44,11 @@ def test_ngram_jaccard_paths_identical_on_fixture(spark, sf_dir):
     assert big == small
 
 
-def test_ngram_jaccard_autogate_counts_corpus(spark, sf_dir, monkeypatch):
-    """big_corpus=None must gate on one corpus count() (the tx9 discipline);
-    an explicit flag must never count. The crossover constant is the
-    measured ~10⁵ wall from the 500k rehearsal receipt. NOTE: patch the
+def test_ngram_jaccard_autogate_is_one_stats_action(spark, sf_dir, monkeypatch):
+    """big_corpus=None must spend exactly ONE action (the stats agg that
+    both gates the crossover and sizes the verify broadcast); an explicit
+    flag must build the plan with zero actions. The crossover constant is
+    the measured ~10⁵ wall from the 500k rehearsal receipt. NOTE: patch the
     CONCRETE class (type(docs), pyspark.sql.classic in Spark 4) — patching
     the abstract pyspark.sql.DataFrame never intercepts instance calls."""
     assert NGRAM_JACCARD_CROSSOVER_DOCS == 100_000
@@ -56,20 +57,26 @@ def test_ngram_jaccard_autogate_counts_corpus(spark, sf_dir, monkeypatch):
     docs = spark.table("documents").select("doc_id", "n_chars", "text")
     cls = type(docs)
 
-    calls = {"n": 0}
-    orig = cls.count
+    calls = {"collect": 0, "count": 0}
+    orig_collect, orig_count = cls.collect, cls.count
 
-    def counting(self):
-        calls["n"] += 1
-        return orig(self)
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
 
-    monkeypatch.setattr(cls, "count", counting)
-    ngram_jaccard_scores(docs)  # auto gate: exactly one count action
-    assert calls["n"] == 1
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    monkeypatch.setattr(cls, "count", counting_count)
+    ngram_jaccard_scores(docs)  # auto gate: one stats agg, no count job
+    assert calls == {"collect": 1, "count": 0}
 
     def boom(self):
-        raise AssertionError("count() despite explicit big_corpus")
+        raise AssertionError("action despite explicit big_corpus")
 
+    monkeypatch.setattr(cls, "collect", boom)
     monkeypatch.setattr(cls, "count", boom)
     for flag in (False, True):
         out = ngram_jaccard_scores(docs, big_corpus=flag)

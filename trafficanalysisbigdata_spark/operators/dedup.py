@@ -151,7 +151,9 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_scores(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+def jaccard_scores(
+    pairs: DataFrame, sets: DataFrame, broadcast_sets: bool = False
+) -> DataFrame:
     """Exact set Jaccard for every candidate pair.
 
     ``sets`` is the set-as-array form ``(doc_id, toks: array<string>)`` — the
@@ -161,9 +163,19 @@ def jaccard_scores(pairs: DataFrame, sets: DataFrame) -> DataFrame:
     row-local avoids materializing |pairs| × |tokens| shuffle rows — the
     difference between ~10M and ~300M intermediate rows on the fixtures, and
     between feasible and not at 100 TB.
+
+    ``broadcast_sets`` hints BOTH attach joins to broadcast the array side —
+    the sim4 scoring discipline: past ~10⁸ candidates the unhinted plan
+    sort-merges pair rows already widened by one token array (measured on
+    dd4's 1M receipt: the 500k→1M wall step was exactly this sort's spill),
+    while one broadcast of the skinny hashed arrays makes both joins
+    map-side with zero widened shuffles. Callers flip it from a MEASURED
+    byte estimate (see ngram_jaccard_scores), never blindly.
     """
     s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    if broadcast_sets:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     return (
         pairs.join(s1, "doc1")
         .join(s2, "doc2")
@@ -250,16 +262,20 @@ def ngram_jaccard_scores(
     big_corpus: bool | None = None,
     num_perm: int = 16,
     max_bucket: int = 256,
+    verify_broadcast: bool | None = None,
+    verify_broadcast_budget_mb: int = 1024,
 ) -> DataFrame:
     """The full n-gram-Jaccard near-dup pipeline as ONE reusable operator.
     Returns (doc1, doc2, jaccard). Shared by the dd4 query and the scale
     rehearsal (the source of the 45×-at-10× fraction-only-cap measurement).
 
     Two candidate strategies share the SAME verification (exact Jaccard over
-    the full bigram-shingle sets), auto-switched on corpus count at
-    ``NGRAM_JACCARD_CROSSOVER_DOCS`` when ``big_corpus`` is None — the tx9 /
-    dd5 crossover discipline applied to the round-11 finding that the
-    shared-shingle join is honestly superlinear (500k receipt: 14.1× wall
+    the full bigram-shingle sets), auto-switched at
+    ``NGRAM_JACCARD_CROSSOVER_DOCS`` when ``big_corpus`` is None via ONE
+    stats aggregate (doc count + total distinct shingles — the count gates
+    the crossover, the shingle total sizes the verify broadcast below; the
+    tx9/dd5 adaptivity discipline, applied to the round-11 finding that the
+    shared-shingle join is honestly superlinear: 500k receipt 14.1× wall
     for 10× docs — Σ min(df, cap)² widens with the zipf mid-band even under
     the df cap):
 
@@ -277,9 +293,29 @@ def ngram_jaccard_scores(
     The df cap only exists on the small path (it bounds the self-join);
     verification always scores FULL shingle sets, so the big path can only
     add pairs whose overlap is pure boilerplate — none exist on the pinned
-    fixtures."""
+    fixtures.
+
+    Big-path VERIFICATION broadcast (the sim4 scoring discipline): at the
+    1M receipt the candidate volume is ~2.8×10⁸ (linear — 144M at 500k)
+    but the unhinted verify join sort-merges pair rows widened by a shingle
+    array, and that sort's spill was the measured 500k→1M wall step
+    (95 → 406 s, ~4× for 2×). When the auto gate runs, the SAME stats agg
+    that decides the crossover also measures the exact hashed-array bytes
+    (8·Σ|S_d| + 48·n), and verification broadcasts the array side when it
+    fits ``verify_broadcast_budget_mb`` — both attach joins go map-side,
+    zero widened shuffles. Callers forcing ``big_corpus=True`` (no stats
+    action) pass ``verify_broadcast`` explicitly; default off."""
+    from ..functions.text import token_bigrams
+
+    stats = None
     if big_corpus is None:
-        big_corpus = docs.count() > NGRAM_JACCARD_CROSSOVER_DOCS
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.size(F.array_distinct(token_bigrams(F.col(text_col))))
+            ).alias("s"),
+        ).collect()[0]
+        big_corpus = stats.n > NGRAM_JACCARD_CROSSOVER_DOCS
     if big_corpus:
         sig = minhash_signatures(doc_shingle_sets(docs, text_col), num_perm=num_perm)
         cand = lsh_candidate_pairs(
@@ -296,7 +332,16 @@ def ngram_jaccard_scores(
             .filter(F.abs(F.col("nc1") - F.col("nc2")) <= max_delta_chars)
             .select("doc1", "doc2")
         )
-        return jaccard_scores(pairs, doc_shingle_arrays(docs, text_col))
+        if verify_broadcast is None:
+            verify_broadcast = stats is not None and (
+                (stats.s or 0) * 8 + stats.n * 48
+                <= verify_broadcast_budget_mb * 1024 * 1024
+            )
+        return jaccard_scores(
+            pairs,
+            doc_shingle_arrays(docs, text_col),
+            broadcast_sets=bool(verify_broadcast),
+        )
     docs_total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     sh = df_capped(
         doc_shingle_sets(docs, text_col), docs_total, max_df_frac, max_df_abs
