@@ -45,12 +45,12 @@ def test_ngram_jaccard_paths_identical_on_fixture(spark, sf_dir):
 
 
 def test_ngram_jaccard_autogate_is_one_stats_action(spark, sf_dir, monkeypatch):
-    """big_corpus=None must spend exactly ONE action (the stats agg that
-    both gates the crossover and sizes the verify broadcast); an explicit
-    flag must build the plan with zero actions. The crossover constant is
-    the measured ~10⁵ wall from the 500k rehearsal receipt. NOTE: patch the
-    CONCRETE class (type(docs), pyspark.sql.classic in Spark 4) — patching
-    the abstract pyspark.sql.DataFrame never intercepts instance calls."""
+    """big_corpus=None on a SMALL corpus must spend exactly ONE cheap
+    count() — the verify-broadcast sizing agg (which tokenizes the corpus)
+    belongs to the big path only (measured +60% on the sf0.1 roster number
+    when it rode the gate). An explicit flag must build the plan with zero
+    actions. NOTE: patch the CONCRETE class (type(docs), pyspark.sql.classic
+    in Spark 4) — the abstract-class patch never intercepts."""
     assert NGRAM_JACCARD_CROSSOVER_DOCS == 100_000
     prep(spark)
     register_views(spark, sf_dir, "documents")
@@ -70,8 +70,8 @@ def test_ngram_jaccard_autogate_is_one_stats_action(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(cls, "collect", counting_collect)
     monkeypatch.setattr(cls, "count", counting_count)
-    ngram_jaccard_scores(docs)  # auto gate: one stats agg, no count job
-    assert calls == {"collect": 1, "count": 0}
+    ngram_jaccard_scores(docs)  # small corpus: one count, no sizing agg
+    assert calls == {"collect": 0, "count": 1}
 
     def boom(self):
         raise AssertionError("action despite explicit big_corpus")

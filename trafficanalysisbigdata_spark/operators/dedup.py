@@ -271,9 +271,9 @@ def ngram_jaccard_scores(
 
     Two candidate strategies share the SAME verification (exact Jaccard over
     the full bigram-shingle sets), auto-switched at
-    ``NGRAM_JACCARD_CROSSOVER_DOCS`` when ``big_corpus`` is None via ONE
-    stats aggregate (doc count + total distinct shingles — the count gates
-    the crossover, the shingle total sizes the verify broadcast below; the
+    ``NGRAM_JACCARD_CROSSOVER_DOCS`` when ``big_corpus`` is None: the gate
+    is one cheap count(); only the big path then pays a second sizing agg
+    for the verify broadcast (small corpora must not tokenize twice — the
     tx9/dd5 adaptivity discipline, applied to the round-11 finding that the
     shared-shingle join is honestly superlinear: 500k receipt 14.1× wall
     for 10× docs — Σ min(df, cap)² widens with the zipf mid-band even under
@@ -299,23 +299,22 @@ def ngram_jaccard_scores(
     1M receipt the candidate volume is ~2.8×10⁸ (linear — 144M at 500k)
     but the unhinted verify join sort-merges pair rows widened by a shingle
     array, and that sort's spill was the measured 500k→1M wall step
-    (95 → 406 s, ~4× for 2×). When the auto gate runs, the SAME stats agg
-    that decides the crossover also measures the exact hashed-array bytes
-    (8·Σ|S_d| + 48·n), and verification broadcasts the array side when it
-    fits ``verify_broadcast_budget_mb`` — both attach joins go map-side,
-    zero widened shuffles. Callers forcing ``big_corpus=True`` (no stats
-    action) pass ``verify_broadcast`` explicitly; default off."""
+    (95 → 406 s, ~4× for 2×). On the auto big path, one sizing agg measures
+    the exact hashed-array bytes (8·Σ|S_d| + 48·n) and verification
+    broadcasts the array side when it fits ``verify_broadcast_budget_mb`` —
+    both attach joins go map-side, zero widened shuffles. Callers forcing
+    ``big_corpus=True`` (no hidden actions) pass ``verify_broadcast``
+    explicitly; default off."""
     from ..functions.text import token_bigrams
 
-    stats = None
+    n_docs_known = None
     if big_corpus is None:
-        stats = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.size(F.array_distinct(token_bigrams(F.col(text_col))))
-            ).alias("s"),
-        ).collect()[0]
-        big_corpus = stats.n > NGRAM_JACCARD_CROSSOVER_DOCS
+        # gate on the cheap count FIRST — the shingle-size sum tokenizes the
+        # whole corpus, so small corpora must not pay it (measured: +60% on
+        # dd4's sf0.1 roster number when the sizing rode the gate agg); only
+        # the big path, whose total cost amortizes it, runs the sizing agg.
+        n_docs_known = docs.count()
+        big_corpus = n_docs_known > NGRAM_JACCARD_CROSSOVER_DOCS
     if big_corpus:
         sig = minhash_signatures(doc_shingle_sets(docs, text_col), num_perm=num_perm)
         cand = lsh_candidate_pairs(
@@ -333,10 +332,18 @@ def ngram_jaccard_scores(
             .select("doc1", "doc2")
         )
         if verify_broadcast is None:
-            verify_broadcast = stats is not None and (
-                (stats.s or 0) * 8 + stats.n * 48
-                <= verify_broadcast_budget_mb * 1024 * 1024
-            )
+            if n_docs_known is None:
+                verify_broadcast = False  # forced-big caller: no hidden action
+            else:
+                total_shingles = docs.agg(
+                    F.sum(
+                        F.size(F.array_distinct(token_bigrams(F.col(text_col))))
+                    )
+                ).collect()[0][0]
+                verify_broadcast = (
+                    (total_shingles or 0) * 8 + n_docs_known * 48
+                    <= verify_broadcast_budget_mb * 1024 * 1024
+                )
         return jaccard_scores(
             pairs,
             doc_shingle_arrays(docs, text_col),
