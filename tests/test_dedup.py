@@ -107,3 +107,45 @@ def test_ngram_jaccard_big_path_has_no_token_self_join(spark, sf_dir):
     assert any("band#" in ln and "bucket#" in ln for ln in big), big
     small = join_lines(False)
     assert any("token#" in ln for ln in small), small
+
+def test_forced_big_verify_default_warns_exactly_once(spark, sf_dir):
+    """big_corpus=True with verify_broadcast unset defaults to the measured
+    1.51×-slower unhinted verify join (no hidden sizing action on forced-big
+    paths) — it must SAY so (r13 verdict item #4): a warning exactly there,
+    and nowhere else (explicit flags, the small path, and the auto path —
+    which sizes and decides itself — all stay silent)."""
+    import warnings
+
+    import pytest
+
+    prep(spark)
+    register_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "n_chars", "text")
+    with pytest.warns(UserWarning, match="verify_broadcast"):
+        ngram_jaccard_scores(docs, big_corpus=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ngram_jaccard_scores(docs, big_corpus=True, verify_broadcast=False)
+        ngram_jaccard_scores(docs, big_corpus=True, verify_broadcast=True)
+        ngram_jaccard_scores(docs, big_corpus=False)
+        ngram_jaccard_scores(docs)  # auto gate: sizes itself, never warns
+
+
+def test_jaccard_verify_broadcast_materializes_once(spark, sf_dir):
+    """The verify-broadcast byte budget sizes ONE copy of the hashed shingle
+    arrays, and one copy is what ships: the two attach joins' broadcast
+    subtrees canonicalize identically (the toks1/toks2 renames are
+    alias-only), so AQE materializes the frame once and the second join gets
+    a ReusedExchange (r12 advice item — without this pin the budget would
+    silently under-account by 2× and the jaccard_scores docstring's memory
+    contract would be wrong)."""
+    prep(spark)
+    register_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "n_chars", "text")
+    res = ngram_jaccard_scores(docs, big_corpus=True, verify_broadcast=True)
+    res.collect()
+    ep = res._jdf.queryExecution().executedPlan().toString()
+    reused_toks = [
+        ln for ln in ep.splitlines() if "ReusedExchange" in ln and "toks2" in ln
+    ]
+    assert reused_toks, ep

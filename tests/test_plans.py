@@ -457,5 +457,17 @@ def test_pipe14_no_cartesian_and_pair_state_is_aggregated(spark, sf_dir):
     single-row build, the engine's scalar idiom)."""
     plan = _plan(spark, sf_dir, "pipe14_containment_leak_scan")
     assert "CartesianProduct" not in plan, plan
-    # partial+final aggregation pairs exist for the (e, t) candidate count
-    assert "partial_count" in plan or "HashAggregate" in plan
+    # the (e, t) candidate count is THE pair-shaped state the scale claim
+    # rests on: it must be a hash aggregate keyed on exactly (e, t), with a
+    # map-side partial_count so per-pair rows combine before the exchange
+    # (r12-advice fix: the old `'HashAggregate' in plan` check passed on any
+    # aggregate anywhere)
+    import re
+
+    assert re.search(
+        r"HashAggregate\(keys=\[e#\d+L?, t#\d+L?\], functions=\[partial_count\(1\)\]",
+        plan,
+    ), plan
+    assert re.search(
+        r"HashAggregate\(keys=\[e#\d+L?, t#\d+L?\], functions=\[count\(1\)\]", plan
+    ), plan

@@ -780,3 +780,109 @@ def test_staged_groups_score_at_double_budget(spark, sf_dir, tmp_path, monkeypat
         broadcast_budget_mb=300,
     )
     assert seen == [600, 600]
+
+def test_stage_false_is_count_free_and_never_stages(spark, tmp_path, monkeypatch):
+    """stage=False (the collapse-consumer posture, r12 advice item): with
+    pinned dials the router must resolve with ZERO driver actions — count()
+    is poisoned — and must build the single-pass LAZY plan even past the
+    frontier (budget 0), leaving no staging artifacts behind. pipe3 relies
+    on exactly this contract."""
+    from trafficanalysisbigdata_spark.operators.similarity import lsh_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 2.0]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def _boom(self):
+        raise AssertionError("count() job triggered despite stage=False")
+
+    monkeypatch.setattr(type(df), "count", _boom)
+    wd = tmp_path / "nostage"
+    p = lsh_neardup_pairs(
+        df,
+        0.9,
+        n_tables=4,
+        n_planes=4,
+        dim=4,
+        broadcast_budget_mb=0,
+        work_dir=str(wd),
+        stage=False,
+    )
+    assert not wd.exists()
+    assert p.columns == ["id1", "id2", "cos"]
+
+
+def test_stage_true_forces_staged_under_conf_dir(spark, sf_dir, tmp_path):
+    """stage=True forces the staged plan even under the frontier, and with
+    no explicit work_dir the groups land under the STAGING_DIR_CONF session
+    conf (the cluster-portable default, r13 verdict item #3) — set-identical
+    to the single-pass result."""
+    import os
+
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        STAGING_DIR_CONF,
+        lsh_neardup_pairs,
+    )
+
+    prep(spark)
+    register_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    n = emb.count()
+    single = {
+        (r.id1, r.id2, r.cos)
+        for r in lsh_neardup_pairs(
+            emb, 0.3, n_tables=7, n_planes=4, n_rows=n
+        ).collect()
+    }
+    assert single
+    spark.conf.set(STAGING_DIR_CONF, str(tmp_path / "confdir"))
+    try:
+        forced = lsh_neardup_pairs(
+            emb, 0.3, n_tables=7, n_planes=4, n_rows=n, group_size=3, stage=True
+        )
+        leaves = os.listdir(tmp_path / "confdir")
+        assert len(leaves) == 1  # one uuid leaf per staging
+        assert sorted(os.listdir(tmp_path / "confdir" / leaves[0])) == [
+            "tables_0000",
+            "tables_0003",
+            "tables_0006",
+        ]
+        assert {(r.id1, r.id2, r.cos) for r in forced.collect()} == single
+    finally:
+        spark.conf.unset(STAGING_DIR_CONF)
+
+
+def test_default_staging_dir_is_warehouse_relative(spark):
+    """Without the conf key, auto-staging resolves under
+    <spark.sql.warehouse.dir>/_lsh_staging/<uuid> — shared storage on a
+    real cluster, never a driver-local mkdtemp (r13 verdict item #3)."""
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        STAGING_DIR_CONF,
+        _default_staging_dir,
+    )
+
+    assert spark.conf.get(STAGING_DIR_CONF, None) is None
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    d1, d2 = _default_staging_dir(spark), _default_staging_dir(spark)
+    assert d1.startswith(wh + "/_lsh_staging/")
+    assert d1 != d2  # concurrent stagings must not collide
+
+
+def test_stage_true_rejects_manual_table_offset(spark):
+    """table_offset marks a manual staging caller (the staged operator's own
+    group passes route through single-pass); combining it with stage=True
+    would double-stage — fail loudly."""
+    import pytest
+
+    from trafficanalysisbigdata_spark.operators.similarity import lsh_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 2.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="table_offset"):
+        lsh_neardup_pairs(
+            df, 0.9, n_tables=4, n_planes=4, dim=4, n_rows=8,
+            table_offset=2, stage=True,
+        )

@@ -171,6 +171,16 @@ def jaccard_scores(
     while one broadcast of the skinny hashed arrays makes both joins
     map-side with zero widened shuffles. Callers flip it from a MEASURED
     byte estimate (see ngram_jaccard_scores), never blindly.
+
+    Memory accounting: although the two hints are two logical broadcasts,
+    the rename Projects below them canonicalize identically, so AQE's
+    runtime exchange reuse materializes the array frame ONCE and the
+    second join gets a ReusedExchange (pinned in
+    tests/test_dedup.py::test_jaccard_verify_broadcast_materializes_once).
+    A caller's byte budget therefore sizes ONE copy per executor, which is
+    what actually ships. AQE (on by default since Spark 3.2, and in every
+    session this engine builds) is required for that accounting; with AQE
+    disabled the static plan holds two copies.
     """
     s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
     s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
@@ -291,9 +301,18 @@ def ngram_jaccard_scores(
       (tests pin both fixture corpora identical across paths).
 
     The df cap only exists on the small path (it bounds the self-join);
-    verification always scores FULL shingle sets, so the big path can only
-    add pairs whose overlap is pure boilerplate — none exist on the pinned
-    fixtures.
+    verification always scores FULL shingle sets. Relative to the small
+    path, the big path's candidate set can therefore differ in BOTH
+    directions: it can ADD pairs whose shared shingles the df cap dropped
+    (pure-boilerplate overlap — none exist on the pinned fixtures), and,
+    because banding is probabilistic, it can MISS pairs the exhaustive
+    join finds — a pair at Jaccard j survives banding with prob
+    1−(1−j)^L, i.e. ~1% of pairs sitting exactly AT the 0.25 bar are
+    missed at the default L=16 (the miss rate decays fast above the bar:
+    0.01% at j=0.44). Past the auto-gate dd4 is an approximation with
+    that known recall profile, calibrated by dd9; the fixture pins cover
+    path equality on corpora where no pair lands close enough to the bar
+    to be lost.
 
     Big-path VERIFICATION broadcast (the sim4 scoring discipline): at the
     1M receipt the candidate volume is ~2.8×10⁸ (linear — 144M at 500k)
@@ -333,7 +352,23 @@ def ngram_jaccard_scores(
         )
         if verify_broadcast is None:
             if n_docs_known is None:
-                verify_broadcast = False  # forced-big caller: no hidden action
+                # forced-big caller: no hidden action — but the default is
+                # the measured slow side (1M A/B: unhinted verify sort-merges
+                # array-widened pair rows, 406 s vs 269 s broadcast = 1.51×),
+                # so say so once instead of silently repaying that wall.
+                import warnings
+
+                warnings.warn(
+                    "ngram_jaccard_scores(big_corpus=True) without "
+                    "verify_broadcast: defaulting to the unhinted verify join "
+                    "(no hidden sizing action on forced-big paths), which the "
+                    "1M A/B measured at 1.51x the broadcast plan. Pass "
+                    "verify_broadcast=True if the hashed shingle arrays "
+                    "(8*sum|S_d| + 48*n bytes) fit your executor budget, or "
+                    "False to silence this.",
+                    stacklevel=2,
+                )
+                verify_broadcast = False
             else:
                 total_shingles = docs.agg(
                     F.sum(

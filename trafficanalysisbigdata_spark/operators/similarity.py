@@ -360,6 +360,7 @@ def lsh_neardup_pairs(
     broadcast_budget_mb: int = 512,
     work_dir: str | None = None,
     group_size: int = 4,
+    stage: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded LSH candidates (pairs
     colliding in any table), then exact cosine ≥ threshold. Never all-pairs —
@@ -379,14 +380,38 @@ def lsh_neardup_pairs(
     pinned-layout callers unchanged.
 
     AUTO-ROUTING AT THE FRONTIER (the dd5 k>=200 / tx9 200k-doc crossover
-    discipline, round-11 verdict item #1): this entrypoint RESOLVES the
-    corpus size (``n_rows`` if given, else one count() — zero-column
-    parquet counts are footer-cheap, and the scalar here decides between a
-    working plan and a measured DNF) and, past the single-pass frontier —
-    prenormed vector frame ``n·(8·dim + 48)`` bytes exceeding
-    ``broadcast_budget_mb`` — builds the STAGED plan
+    discipline, round-11 verdict item #1): with ``stage=None`` this
+    entrypoint RESOLVES the corpus size (``n_rows`` if given, else one
+    count() — zero-column parquet counts are footer-cheap, and the scalar
+    here decides between a working plan and a measured DNF) and, past the
+    single-pass frontier — prenormed vector frame ``n·(8·dim + 48)`` bytes
+    exceeding ``broadcast_budget_mb`` — builds the STAGED plan
     (``lsh_neardup_pairs_staged``: table groups materialized to
-    ``work_dir``, a mkdtemp if not given) instead of the single-pass plan.
+    ``work_dir``) instead of the single-pass plan.
+
+    ``stage`` pins the route when the caller knows better than the
+    frontier heuristic. ``stage=False`` is the COLLAPSE-CONSUMER posture
+    (pipe3/dd6-style pipelines that fold the pairs straight into connected
+    components, where per-pair state never materializes): always the
+    single-pass lazy plan, and — when ``n_planes``/``n_tables`` are also
+    pinned — ZERO driver actions, restoring the round-8 no-count contract
+    for non-parquet inputs (the corpus size is then only used for the
+    scoring-broadcast hint, which is skipped when unknown; pass ``n_rows``
+    to keep the hint). ``stage=True`` forces the staged plan regardless of
+    the frontier. With ``stage=None`` the count() is the documented price
+    of auto-routing.
+
+    ``work_dir`` resolution when staging (routed or forced): the explicit
+    argument wins; else the session conf key
+    ``spark.trafficanalysisbigdata.lsh.stagingDir`` (set it to shared
+    storage on a real cluster — every executor AND the final read-back
+    must reach it); else ``<spark.sql.warehouse.dir>/_lsh_staging/<uuid>``
+    — warehouse-relative because the warehouse is the one location a
+    cluster session already guarantees is shared, unlike a driver-local
+    mkdtemp whose path means nothing to remote executors. Staged group
+    files are the BACKING STORE of the returned DataFrame (it reads them
+    back), so they are not auto-deleted; the caller owns cleanup after the
+    result is consumed.
     The round-11 1M×64-d rehearsal measured exactly this boundary:
     single-pass DNF'd three separate dials (4.3B-candidate distinct spill;
     sort-merge scoring once 560 MB of prenormed rows blew the 512 MB
@@ -410,17 +435,31 @@ def lsh_neardup_pairs(
     again but recall 0.62 on this cluster-dense corpus. For dedup
     pipelines, pipe3/dd6 consume these pairs into connected components,
     where a capped pair list collapses dense regions identically."""
-    n_known = n_rows if n_rows is not None else corpus.count()
+    # the count() is only owed when a decision needs the size: adaptive
+    # dials, auto-routing, or the staged path's own sizing. stage=False +
+    # pinned dials (the collapse-consumer posture) resolves with ZERO
+    # driver actions.
+    need_n = n_rows is None and (
+        n_planes is None or n_tables is None or stage is not False
+    )
+    n_known = n_rows if n_rows is not None else (corpus.count() if need_n else None)
     if n_planes is None:
         n_planes = adaptive_n_planes(n_known)
     if n_tables is None:
         n_tables = adaptive_n_tables(n_planes, threshold)
-    past_frontier = n_known * (dim * 8 + 48) > broadcast_budget_mb * 1024 * 1024
-    if past_frontier and table_offset == 0 and n_tables > group_size:
+    if stage is None:
+        stage = (
+            n_known * (dim * 8 + 48) > broadcast_budget_mb * 1024 * 1024
+            and table_offset == 0
+            and n_tables > group_size
+        )
+    elif stage and table_offset != 0:
+        raise ValueError(
+            "table_offset marks a manual staging caller; stage=True conflicts"
+        )
+    if stage:
         if work_dir is None:
-            import tempfile
-
-            work_dir = tempfile.mkdtemp(prefix="spark_graft_lsh_pairs_")
+            work_dir = _default_staging_dir(corpus.sparkSession)
         return lsh_neardup_pairs_staged(
             corpus,
             threshold,
@@ -514,6 +553,26 @@ def _lsh_pairs_single_pass(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+STAGING_DIR_CONF = "spark.trafficanalysisbigdata.lsh.stagingDir"
+
+
+def _default_staging_dir(spark) -> str:
+    """Resolve where auto-routed staging materializes its table groups:
+    the ``STAGING_DIR_CONF`` session conf if set, else a ``_lsh_staging``
+    subtree of the SQL warehouse — the one path a cluster session already
+    guarantees every executor and the read-back can reach (a driver-local
+    mkdtemp, the pre-r13 default, resolves against the default Hadoop FS
+    and happens to work only in local mode). A uuid leaf keeps concurrent
+    stagings apart; files persist until the caller cleans them (they back
+    the returned DataFrame)."""
+    import uuid
+
+    base = spark.conf.get(STAGING_DIR_CONF, None) or (
+        spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/_lsh_staging"
+    )
+    return f"{base.rstrip('/')}/{uuid.uuid4().hex}"
 
 
 def lsh_neardup_pairs_staged(

@@ -452,7 +452,21 @@ def mlx8_gbt_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep), and Spark's own (19,6)² would precision-loss-truncate to scale
     # 11 — both hazards die with the explicit narrower-width cast (err ≪
     # 10^10, so (16,6) loses nothing).
-    err = (F.col("total_dec") - F.col("pred_dec")).cast("decimal(16,6)")
+    raw = F.col("total_dec") - F.col("pred_dec")  # decimal(19,6): exact
+    # r12-advice overflow guard: under non-ANSI Spark the (16,6) cast NULLs
+    # at |err| >= 1e10 and SUM would silently drop those rows while the
+    # DuckDB oracle (squaring at (19,6)) keeps them — a silent cross-engine
+    # divergence. assert_true turns that into a loud executor-side failure;
+    # it rides the same row-local projection as the cast (no extra action),
+    # and coalesce(null-on-pass, cast) yields the cast value on every
+    # passing row.
+    err = F.coalesce(
+        F.assert_true(
+            F.abs(raw) < F.lit(1e10),
+            F.lit("mlx8: |residual| >= 1e10 overflows decimal(16,6)"),
+        ).cast("decimal(16,6)"),
+        raw.cast("decimal(16,6)"),
+    )
     n = F.count(F.lit(1))
     return pred.agg(
         n.alias("n_test"),

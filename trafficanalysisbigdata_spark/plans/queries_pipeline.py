@@ -245,8 +245,15 @@ def pipe3_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("kp"))
         .select("doc_id")
     )
+    # stage=False: collapse-consumer posture — the pairs fold straight into
+    # a distinct flagged-id set, so per-pair state never materializes and
+    # the router must neither count() (dials are pinned; r12 advice: keep
+    # the no-action contract for non-parquet inputs) nor eagerly stage past
+    # the frontier.
     edup = (
-        lsh_neardup_pairs(emb, threshold=0.3, n_tables=_L, n_planes=_P, dim=_DIM)
+        lsh_neardup_pairs(
+            emb, threshold=0.3, n_tables=_L, n_planes=_P, dim=_DIM, stage=False
+        )
         .select(F.col("id2").alias("doc_id"))
         .distinct()
     )
