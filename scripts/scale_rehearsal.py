@@ -34,7 +34,7 @@ Dial settings at 10× (each documented at its definition):
 
 Usage: ``python scripts/scale_rehearsal.py [1x|10x|joins|text|mm|streaming|
 100x|100xlsh|st11deep|fuzzy|ivf500k|sqlsf1|sim1m|sim2m|docs1m|r12dd4pipe|
-sim4auto1m]`` — one size per
+sim4auto1m|r13|sigab]`` — one size per
 invocation (each fits a CI timeout; corpora cached under
 /tmp/spark_graft_rehearsal). ``joins`` runs the TPC-H-ish join/agg family at
 1× and 10× in one invocation (10× fact tables derived from sf0.1 by
@@ -1398,6 +1398,191 @@ def run_r12_dd4_pipe_mode(spark) -> None:
     print(json.dumps({"mode": "r12dd4pipe", "timings": out}))
 
 
+def run_r13_mode(spark) -> None:
+    """Round-13 receipts (verdict items #2/#5/#6):
+
+    * pipe14 at 500k train-side docs — the one r12 dial without a decade
+      receipt. Stage split: the train postings explode (the claimed
+      linear-cost term, same scan dd7 receipts to 1M) vs the (e, t)
+      candidate aggregate (the only pair-shaped state, fan-out bounded by
+      the eval-side df cap). The registered query's own 10% split is the
+      eval ceiling per the contract.
+    * dd4 at 2M — one decade PAST the now-load-bearing 100k crossover's
+      first receipted decade (1M, r12: 268.8 s). Splits: signatures /
+      banded candidates / full auto path; plus the verify-broadcast dial
+      A/B at 2M, where the default 1024 MB budget boundary sits (the
+      sizing estimate is printed so BENCH_LOCAL records which side the
+      auto decision lands on).
+
+    2M passes are SINGLE-pass timings (one execution each, no warm pass —
+    a min-of-2 protocol would cost ~90 min of redundant 10-minute runs for
+    a decade-curve point where ±10% noise changes nothing).
+    """
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators import dedup as dd
+    from trafficanalysisbigdata_spark.plans.queries_pipeline import _hash_frac
+
+    def timed(fn, passes=2):
+        fn().write.format("noop").mode("overwrite").save()  # warm codegen
+        ts = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 2))
+        return min(ts)
+
+    def once(fn):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    out: dict[str, dict] = {}
+
+    # --- pipe14 at 500k (min-of-2, the r12dd4pipe protocol) ---------------
+    dp = f"{BASE}/docs_dist_100x"
+    if not os.path.exists(f"{dp}/_SUCCESS"):
+        gen_documents_dist(spark, 500_000, dp)
+    dl = docs_with_lang(spark.read.parquet(dp))
+    res: dict[str, float] = {}
+    # stage thunks built from the SAME operators/derivations the query uses
+    split = dl.select(
+        "doc_id", "source", (_hash_frac(F.col("doc_id")) < 0.9).alias("is_train")
+    )
+    sh = dd.doc_shingle_sets(dl).join(split.select("doc_id", "is_train"), "doc_id")
+    tr = sh.filter(F.col("is_train")).select(F.col("doc_id").alias("t"), "token")
+    ev = sh.filter(~F.col("is_train")).select("doc_id", "token")
+    n_ev = ev.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    evc = dd.df_capped(ev, n_ev, 0.05, 256).withColumnRenamed("doc_id", "e")
+    common = (
+        tr.join(evc, "token").groupBy("e", "t").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    res["stage_train_postings"] = timed(lambda: tr)
+    res["stage_et_aggregate"] = timed(lambda: common)
+    res["pipe14_composite"] = timed(
+        _registered_over_view(spark, "pipe14_containment_leak_scan", {"documents": dl})
+    )
+    print(
+        f"  500k pipe14: train postings {res['stage_train_postings']}s, "
+        f"(e,t) agg {res['stage_et_aggregate']}s, "
+        f"composite {res['pipe14_composite']}s",
+        file=sys.stderr, flush=True,
+    )
+    out["pipe14_500k"] = res
+
+    # --- dd4 at 2M (single-pass decade point) ------------------------------
+    dp2 = f"{BASE}/docs_dist_2m"
+    if not os.path.exists(f"{dp2}/_SUCCESS"):
+        gen_documents_dist(spark, 2_000_000, dp2)
+    docs2 = spark.read.parquet(dp2)
+    res2: dict[str, float] = {}
+    sig = dd.minhash_signatures(dd.doc_shingle_sets(docs2), num_perm=16)
+    res2["stage_signatures"] = once(lambda: sig)
+    cand = dd.lsh_candidate_pairs(sig, num_perm=16, rows_per_band=1, max_bucket=256)
+    res2["stage_candidates"] = once(lambda: cand)
+    # where the auto verify-broadcast decision lands at 2M vs the 1024 MB
+    # default budget (8*sum|S_d| + 48*n bytes, one AQE-reused copy)
+    from trafficanalysisbigdata_spark.functions.text import token_bigrams
+
+    tot = docs2.agg(
+        F.sum(F.size(F.array_distinct(token_bigrams(F.col("text"))))).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    est_mb = round((tot.s * 8 + tot.n * 48) / 1024 / 1024, 1)
+    res2["verify_broadcast_est_mb"] = est_mb
+    res2["auto_would_broadcast"] = bool(est_mb <= 1024)
+    res2["dd4_registered_auto"] = once(
+        _registered_over_view(
+            spark, "dd4_ngram_jaccard", {"documents": docs_with_lang(docs2)}
+        )
+    )
+    # the dial A/B at the boundary: forced-big with verify broadcast on/off
+    for flag in (True, False):
+        res2[f"dd4_forced_verifybc_{flag}"] = once(
+            lambda flag=flag: dd.ngram_jaccard_scores(
+                docs2, big_corpus=True, verify_broadcast=flag
+            ).filter(F.col("jaccard") >= 0.25)
+        )
+    print(f"  2m dd4: {res2}", file=sys.stderr, flush=True)
+    out["dd4_2m"] = res2
+    print(json.dumps({"mode": "r13", "timings": out}))
+
+
+def run_sigab_mode(spark) -> None:
+    """Round-13 verdict item #5: A/B the dd4 signature stage — the shipped
+    grouped pass (explode + groupBy, 16 partial-aggregated md5 mins, whole-
+    stage codegen) vs a row-local formulation (array_min over F.transform,
+    zero shuffle). Bit-identity is asserted at 500k. MEASURED RESULT
+    (BENCH_LOCAL r13): the row-local form is 0.6×/0.66× at 500k/1M — the
+    higher-order-function lambdas are CodegenFallback, so the md5 loop runs
+    interpreted, and that interpretation tax exceeds the grouped path's
+    entire (narrow, map-side-combined) exchange. Same mechanism the
+    lsh_candidate_pairs docstring documents for the band-dedup filter. The
+    grouped pass stays; an xxhash64 integer family would be faster still
+    but is not cross-engine (no DuckDB twin) and would break the md5
+    oracle/path-equality contract."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.functions.text import token_bigrams
+    from trafficanalysisbigdata_spark.operators.dedup import (
+        doc_shingle_sets,
+        minhash_signatures,
+    )
+
+    NUM = 16
+
+    def _mk(pref):
+        return lambda s: F.md5(F.concat(F.lit(pref), s))
+
+    def rowlocal(docs):
+        shing = docs.select(
+            "doc_id", F.array_distinct(token_bigrams(F.col("text"))).alias("__el")
+        ).filter(F.size("__el") > 0)
+        return shing.select(
+            "doc_id",
+            *[
+                F.array_min(F.transform("__el", _mk(f"{i}|"))).alias(f"mh_{i}")
+                for i in range(NUM)
+            ],
+        )
+
+    def grouped(docs):
+        return minhash_signatures(doc_shingle_sets(docs), num_perm=NUM)
+
+    def timed(fn, passes=2):
+        fn().write.format("noop").mode("overwrite").save()
+        ts = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 2))
+        return min(ts)
+
+    out = {}
+    for tag, n, path in (
+        ("500k", 500_000, f"{BASE}/docs_dist_100x"),
+        ("1m", 1_000_000, f"{BASE}/docs_dist_1m"),
+    ):
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            gen_documents_dist(spark, n, path)
+        docs = spark.read.parquet(path)
+        res = {
+            "sig_grouped": timed(lambda: grouped(docs)),
+            "sig_rowlocal": timed(lambda: rowlocal(docs)),
+        }
+        res["ratio_rowlocal_vs_grouped"] = round(
+            res["sig_grouped"] / res["sig_rowlocal"], 2
+        )
+        if tag == "500k":
+            a, b = grouped(docs), rowlocal(docs)
+            res["bit_identical"] = bool(
+                a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+            )
+        print(f"  {tag}: {res}", file=sys.stderr, flush=True)
+        out[tag] = res
+    print(json.dumps({"mode": "sigab", "num_perm": NUM, "timings": out}))
+
+
 def run_sim4_auto_1m_mode(spark) -> None:
     """Round-12 receipt (verdict item #1): the PUBLIC lsh_neardup_pairs
     entrypoint at 1M vectors with default budget — must auto-route through
@@ -1510,6 +1695,14 @@ def main() -> None:
     if wanted == ["sim4auto1m"]:
         spark.conf.set("spark.sql.shuffle.partitions", "256")
         run_sim4_auto_1m_mode(spark)
+        return
+    if wanted == ["r13"]:
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        run_r13_mode(spark)
+        return
+    if wanted == ["sigab"]:
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        run_sigab_mode(spark)
         return
     if wanted == ["docs1m"]:
         # the doc-postings family one decade past its 500k receipts
