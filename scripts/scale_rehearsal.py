@@ -1417,6 +1417,14 @@ def run_r13_mode(spark) -> None:
     2M passes are SINGLE-pass timings (one execution each, no warm pass —
     a min-of-2 protocol would cost ~90 min of redundant 10-minute runs for
     a decade-curve point where ±10% noise changes nothing).
+
+    ``R13_OPS`` (comma list of pipe14|dd4stages|dd4auto|dd4bc|dd4nobc)
+    selects sections; every measurement prints the moment it lands. Run
+    the 2M sections as SEPARATE invocations: one JVM session holding the
+    stage splits + the auto pass + both A/B arms accumulates ~70 GB of
+    retained shuffle files (ContextCleaner only releases them on GC) and
+    exhausted this host's free disk mid-A/B on the first attempt — the
+    same reason a long-lived cluster app checkpoints between heavy stages.
     """
     from pyspark.sql import functions as F
 
@@ -1437,74 +1445,95 @@ def run_r13_mode(spark) -> None:
         fn().write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 2)
 
+    ops = set(
+        os.environ.get(
+            "R13_OPS", "pipe14,dd4stages,dd4auto,dd4bc,dd4nobc"
+        ).split(",")
+    )
     out: dict[str, dict] = {}
 
-    # --- pipe14 at 500k (min-of-2, the r12dd4pipe protocol) ---------------
-    dp = f"{BASE}/docs_dist_100x"
-    if not os.path.exists(f"{dp}/_SUCCESS"):
-        gen_documents_dist(spark, 500_000, dp)
-    dl = docs_with_lang(spark.read.parquet(dp))
-    res: dict[str, float] = {}
-    # stage thunks built from the SAME operators/derivations the query uses
-    split = dl.select(
-        "doc_id", "source", (_hash_frac(F.col("doc_id")) < 0.9).alias("is_train")
-    )
-    sh = dd.doc_shingle_sets(dl).join(split.select("doc_id", "is_train"), "doc_id")
-    tr = sh.filter(F.col("is_train")).select(F.col("doc_id").alias("t"), "token")
-    ev = sh.filter(~F.col("is_train")).select("doc_id", "token")
-    n_ev = ev.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
-    evc = dd.df_capped(ev, n_ev, 0.05, 256).withColumnRenamed("doc_id", "e")
-    common = (
-        tr.join(evc, "token").groupBy("e", "t").agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    res["stage_train_postings"] = timed(lambda: tr)
-    res["stage_et_aggregate"] = timed(lambda: common)
-    res["pipe14_composite"] = timed(
-        _registered_over_view(spark, "pipe14_containment_leak_scan", {"documents": dl})
-    )
-    print(
-        f"  500k pipe14: train postings {res['stage_train_postings']}s, "
-        f"(e,t) agg {res['stage_et_aggregate']}s, "
-        f"composite {res['pipe14_composite']}s",
-        file=sys.stderr, flush=True,
-    )
-    out["pipe14_500k"] = res
+    def land(section: str, key: str, val) -> None:
+        out.setdefault(section, {})[key] = val
+        print(f"  {section}.{key} = {val}", file=sys.stderr, flush=True)
 
-    # --- dd4 at 2M (single-pass decade point) ------------------------------
-    dp2 = f"{BASE}/docs_dist_2m"
-    if not os.path.exists(f"{dp2}/_SUCCESS"):
-        gen_documents_dist(spark, 2_000_000, dp2)
-    docs2 = spark.read.parquet(dp2)
-    res2: dict[str, float] = {}
-    sig = dd.minhash_signatures(dd.doc_shingle_sets(docs2), num_perm=16)
-    res2["stage_signatures"] = once(lambda: sig)
-    cand = dd.lsh_candidate_pairs(sig, num_perm=16, rows_per_band=1, max_bucket=256)
-    res2["stage_candidates"] = once(lambda: cand)
-    # where the auto verify-broadcast decision lands at 2M vs the 1024 MB
-    # default budget (8*sum|S_d| + 48*n bytes, one AQE-reused copy)
-    from trafficanalysisbigdata_spark.functions.text import token_bigrams
+    if "pipe14" in ops:
+        # --- pipe14 at 500k (min-of-2, the r12dd4pipe protocol) -----------
+        dp = f"{BASE}/docs_dist_100x"
+        if not os.path.exists(f"{dp}/_SUCCESS"):
+            gen_documents_dist(spark, 500_000, dp)
+        dl = docs_with_lang(spark.read.parquet(dp))
+        # stage thunks built from the SAME operators/derivations as the query
+        split = dl.select(
+            "doc_id", "source", (_hash_frac(F.col("doc_id")) < 0.9).alias("is_train")
+        )
+        sh = dd.doc_shingle_sets(dl).join(split.select("doc_id", "is_train"), "doc_id")
+        tr = sh.filter(F.col("is_train")).select(F.col("doc_id").alias("t"), "token")
+        ev = sh.filter(~F.col("is_train")).select("doc_id", "token")
+        n_ev = ev.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+        evc = dd.df_capped(ev, n_ev, 0.05, 256).withColumnRenamed("doc_id", "e")
+        common = (
+            tr.join(evc, "token")
+            .groupBy("e", "t")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        land("pipe14_500k", "stage_train_postings", timed(lambda: tr))
+        land("pipe14_500k", "stage_et_aggregate", timed(lambda: common))
+        land(
+            "pipe14_500k",
+            "pipe14_composite",
+            timed(
+                _registered_over_view(
+                    spark, "pipe14_containment_leak_scan", {"documents": dl}
+                )
+            ),
+        )
 
-    tot = docs2.agg(
-        F.sum(F.size(F.array_distinct(token_bigrams(F.col("text"))))).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    est_mb = round((tot.s * 8 + tot.n * 48) / 1024 / 1024, 1)
-    res2["verify_broadcast_est_mb"] = est_mb
-    res2["auto_would_broadcast"] = bool(est_mb <= 1024)
-    res2["dd4_registered_auto"] = once(
-        _registered_over_view(
-            spark, "dd4_ngram_jaccard", {"documents": docs_with_lang(docs2)}
+    if ops & {"dd4stages", "dd4auto", "dd4bc", "dd4nobc"}:
+        dp2 = f"{BASE}/docs_dist_2m"
+        if not os.path.exists(f"{dp2}/_SUCCESS"):
+            gen_documents_dist(spark, 2_000_000, dp2)
+        docs2 = spark.read.parquet(dp2)
+    if "dd4stages" in ops:
+        sig = dd.minhash_signatures(dd.doc_shingle_sets(docs2), num_perm=16)
+        land("dd4_2m", "stage_signatures", once(lambda: sig))
+        cand = dd.lsh_candidate_pairs(
+            sig, num_perm=16, rows_per_band=1, max_bucket=256
         )
-    )
-    # the dial A/B at the boundary: forced-big with verify broadcast on/off
-    for flag in (True, False):
-        res2[f"dd4_forced_verifybc_{flag}"] = once(
-            lambda flag=flag: dd.ngram_jaccard_scores(
-                docs2, big_corpus=True, verify_broadcast=flag
-            ).filter(F.col("jaccard") >= 0.25)
+        land("dd4_2m", "stage_candidates", once(lambda: cand))
+        land("dd4_2m", "n_candidates", cand.count())
+        # where the auto verify-broadcast decision lands at 2M vs the
+        # 1024 MB default budget (8*sum|S_d| + 48*n bytes, one AQE-reused
+        # copy)
+        from trafficanalysisbigdata_spark.functions.text import token_bigrams
+
+        tot = docs2.agg(
+            F.sum(F.size(F.array_distinct(token_bigrams(F.col("text"))))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        est_mb = round((tot.s * 8 + tot.n * 48) / 1024 / 1024, 1)
+        land("dd4_2m", "verify_broadcast_est_mb", est_mb)
+        land("dd4_2m", "auto_would_broadcast", bool(est_mb <= 1024))
+    if "dd4auto" in ops:
+        land(
+            "dd4_2m",
+            "dd4_registered_auto",
+            once(
+                _registered_over_view(
+                    spark, "dd4_ngram_jaccard", {"documents": docs_with_lang(docs2)}
+                )
+            ),
         )
-    print(f"  2m dd4: {res2}", file=sys.stderr, flush=True)
-    out["dd4_2m"] = res2
+    for opname, flag in (("dd4bc", True), ("dd4nobc", False)):
+        if opname in ops:
+            land(
+                "dd4_2m",
+                f"dd4_forced_verifybc_{flag}",
+                once(
+                    lambda flag=flag: dd.ngram_jaccard_scores(
+                        docs2, big_corpus=True, verify_broadcast=flag
+                    ).filter(F.col("jaccard") >= 0.25)
+                ),
+            )
     print(json.dumps({"mode": "r13", "timings": out}))
 
 
