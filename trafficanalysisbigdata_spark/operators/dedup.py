@@ -321,9 +321,20 @@ def ngram_jaccard_scores(
     (95 → 406 s, ~4× for 2×). On the auto big path, one sizing agg measures
     the exact hashed-array bytes (8·Σ|S_d| + 48·n) and verification
     broadcasts the array side when it fits ``verify_broadcast_budget_mb`` —
-    both attach joins go map-side, zero widened shuffles. Callers forcing
-    ``big_corpus=True`` (no hidden actions) pass ``verify_broadcast``
-    explicitly; default off."""
+    both attach joins go map-side, zero widened shuffles (ONE materialized
+    copy: the second join's broadcast is an AQE ReusedExchange, pinned in
+    tests). Callers forcing ``big_corpus=True`` (no hidden actions) pass
+    ``verify_broadcast`` explicitly; default off with a one-time warning.
+
+    Past the budget the unhinted sort-merge verify stands. That is the
+    right CLUSTER default — the widened sort spill distributes across
+    executors while a past-budget broadcast would press every executor's
+    memory — but on a single host it is a disk wall: the 2M receipt
+    (BENCH_LOCAL r13) measured the broadcast plan at 448.8 s while the
+    unhinted plan DNF'd a 70 GB-free host on sort spill (516M candidate
+    pairs × ~50-element shingle arrays). Single-host callers past the
+    ~2.2M-doc boundary of the default budget should raise
+    ``verify_broadcast_budget_mb`` to match their executor headroom."""
     from ..functions.text import token_bigrams
 
     n_docs_known = None
