@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     # a model fit, which would measure MLlib training, not engine throughput)
     "mlx9_cv_fold_grid_contract",
     "pipe14_containment_leak_scan",
+    # round-13 addition
+    "dd10_dup_span_scrub",
 ]
 
 

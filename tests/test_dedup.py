@@ -149,3 +149,61 @@ def test_jaccard_verify_broadcast_materializes_once(spark, sf_dir):
         ln for ln in ep.splitlines() if "ReusedExchange" in ln and "toks2" in ln
     ]
     assert reused_toks, ep
+
+def test_dup_span_scrub_planted_edges(spark):
+    """dd10's removal rule against a pure-Python reference on planted
+    edges: a 5-gram shared by exactly two docs (only those 5 positions
+    scrubbed in each), a full exact-copy pair (scrubs to md5('')), an
+    under-5-token doc (no shingles, untouched), a unique doc (untouched),
+    and an INTRA-doc repeated shingle (not duplicated across docs — must
+    survive: the bar is >= 2 DISTINCT documents)."""
+    import hashlib
+
+    from trafficanalysisbigdata_spark.operators.dedup import dup_span_scrub
+
+    shared = "alpha beta gamma delta epsilon"  # the planted 5-gram
+    texts = {
+        0: f"u00 u01 u02 {shared} u03 u04 u05",
+        1: f"v00 v01 {shared} v02 v03 v04 v05",
+        2: "copy one two three four five copy2",
+        3: "copy one two three four five copy2",
+        4: "tiny doc here",
+        5: "w00 w01 w02 w03 w04 w05 w06 w07",
+        6: "r00 r01 r02 r03 r04 r00 r01 r02 r03 r04",
+    }
+
+    def reference(all_texts):
+        grams: dict[str, set] = {}
+        for i, t in all_texts.items():
+            toks = t.split(" ")
+            for s in range(len(toks) - 4):
+                grams.setdefault(" ".join(toks[s : s + 5]), set()).add(i)
+        out = {}
+        for i, t in all_texts.items():
+            toks = t.split(" ")
+            cov: set = set()
+            for s in range(len(toks) - 4):
+                if len(grams[" ".join(toks[s : s + 5])]) >= 2:
+                    cov.update(range(s, s + 5))
+            kept = [tok for p, tok in enumerate(toks) if p not in cov]
+            out[i] = (
+                len(toks),
+                len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_md5)
+        for r in dup_span_scrub(docs, n=5).collect()
+    }
+    exp = reference(texts)
+    assert got == exp
+    # the planted semantics themselves (so the reference isn't vacuous):
+    assert exp[2][1] == 0 and exp[3][1] == 0          # exact copies scrub fully
+    assert exp[4][1] == 3 and exp[5][1] == 8          # untouched docs
+    assert exp[6][1] == 10                            # intra-doc repeat survives
+    assert exp[0][1] == exp[0][0] - 5                 # exactly the shared 5-gram

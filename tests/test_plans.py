@@ -471,3 +471,15 @@ def test_pipe14_no_cartesian_and_pair_state_is_aggregated(spark, sf_dir):
     assert re.search(
         r"HashAggregate\(keys=\[e#\d+L?, t#\d+L?\], functions=\[count\(1\)\]", plan
     ), plan
+
+
+def test_dd10_scrub_is_anti_join_not_pair_shaped(spark, sf_dir):
+    """dd10's scale claim: duplicate detection is dd7's long-keyed postings
+    aggregate, the scrub is a LEFT ANTI equi join of token postings against
+    covered positions, and no stage holds doc x doc state — no cartesian
+    anywhere, and the rebuild's collect_list aggregates per doc_id."""
+    plan = _plan(spark, sf_dir, "dd10_dup_span_scrub")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "collect_list" in plan, plan

@@ -445,6 +445,75 @@ def doc_shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dup_span_scrub(
+    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL (dd10) — the transform half of the Lee
+    et al. 2021 exact-substring-dedup signal that ``duplicate_span_stats``
+    (dd7) measures: every token position covered by an n-token shingle that
+    occurs in >= 2 DISTINCT documents is dropped, and the document is
+    rebuilt from the surviving tokens (original order, single-space
+    joined). Returns (doc_id, n_tokens, n_kept, clean_md5) — the md5 pins
+    the full rebuilt text value-checkably without shipping megabytes of
+    cleaned text through the compare harness; a doc with no duplicated
+    spans keeps clean_md5 == md5(text) (single-space corpus contract), and
+    a fully-duplicated doc scrubs to md5('').
+
+    Plan shape (the dd7 scale posture, plus one anti join and one bounded
+    rebuild): shingle postings travel as (xxhash64, doc_id, start) — long
+    keys, partial-aggregated document frequency; covered positions are a
+    narrow explode of <= n rows per duplicated occurrence, distinct on
+    (doc_id, pos); the scrub is a LEFT ANTI equi join of token postings
+    against covered positions (AQE-skew-splittable, never pair-shaped);
+    the rebuild is one collect_list per document — per-GROUP state is one
+    document's tokens, the same bound every per-doc operation in this
+    engine already carries, NOT corpus-shaped. No stage holds doc x doc
+    state, so the whole plan is postings-linear at 100 TB."""
+    from ..functions.text import token_count, token_ngrams, tokens
+
+    toks = tokens(F.col(text_col))
+    tok = docs.select(id_col, F.posexplode(toks).alias("pos", "tok"))
+    grams = docs.select(
+        id_col, F.posexplode(token_ngrams(F.col(text_col), n)).alias("start", "sh")
+    ).select(id_col, "start", F.xxhash64("sh").alias("k"))
+    dup = (
+        grams.select("k", id_col)
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("k")
+    )
+    covered = (
+        grams.join(dup, "k")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select(id_col, token_count(F.col(text_col)).cast("bigint").alias("n_tokens"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_md5"),
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

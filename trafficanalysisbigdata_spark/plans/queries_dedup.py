@@ -577,3 +577,63 @@ def dd9_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m_match")
     )
+
+
+@register(
+    "dd10_dup_span_scrub",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, text, string_split(text, ' ') AS a FROM documents
+    ), tok AS (
+      SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, a[u.pos] AS tok
+      FROM arr, UNNEST(range(1, len(a) + 1)) AS u(pos)
+    ), grams AS (
+      SELECT doc_id, CAST(u.start AS BIGINT) AS start,
+             array_to_string(a[u.start:u.start+4], ' ') AS sh
+      FROM arr, UNNEST(range(1, greatest(len(a) - 4, 0) + 1)) AS u(start)
+    ), dup AS (
+      SELECT sh FROM grams GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT g.doc_id, CAST(u.pos AS BIGINT) AS pos
+      FROM grams g JOIN dup USING (sh),
+           UNNEST(range(g.start, g.start + 5)) AS u(pos)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM tok t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+    ), reb AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(r.clean_text, '')) AS clean_md5
+    FROM documents d LEFT JOIN reb r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "spans", "transform", "llm-pipeline"),
+    tables=("documents",),
+)
+def dd10_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the transform half of the Lee et al.
+    2021 exact-substring story whose measurement half is dd7: every token
+    position covered by a 5-token shingle occurring in >= 2 distinct
+    documents is dropped and the document is rebuilt from the survivors in
+    original order. Per doc: token count, surviving count, and md5 of the
+    full rebuilt text — the md5 makes the TRANSFORM itself value-checked
+    (both engines must reconstruct byte-identical cleaned strings, so
+    ordering, boundary and under-5-token edge cases are all pinned), while
+    keeping the compare payload one hash per doc instead of the cleaned
+    corpus.
+
+    Scale posture (see operators/dedup.dup_span_scrub): dd7's long-keyed
+    postings aggregates for duplicate detection, one narrow <=5-rows-per-
+    occurrence coverage explode, one LEFT ANTI equi join for the scrub,
+    and a per-document collect_list rebuild whose state is one document's
+    tokens — never corpus- or pair-shaped. The plan guard pins the anti
+    join and the absence of any cartesian state."""
+    from ..operators.dedup import dup_span_scrub
+
+    return dup_span_scrub(spark.table("documents"), n=5).orderBy("doc_id")
