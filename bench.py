@@ -184,8 +184,9 @@ BENCH_QUERIES = [
     # a model fit, which would measure MLlib training, not engine throughput)
     "mlx9_cv_fold_grid_contract",
     "pipe14_containment_leak_scan",
-    # round-13 addition
+    # round-13 additions
     "dd10_dup_span_scrub",
+    "tx17_heaps_vocab_growth",
 ]
 
 

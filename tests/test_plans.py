@@ -483,3 +483,16 @@ def test_dd10_scrub_is_anti_join_not_pair_shaped(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
     assert "collect_list" in plan, plan
+
+
+def test_tx17_windows_partition_by_source(spark, sf_dir):
+    """tx17: both running sums must ride ONE window partitioned by source —
+    an unpartitioned cumsum would funnel the corpus through a single task,
+    and a second window spec would mean the sums stopped sharing their
+    exchange+sort."""
+    plan = _plan(spark, sf_dir, "tx17_heaps_vocab_growth")
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, plan
+    for ln in specs:
+        assert "source" in ln.split("windowspecdefinition", 1)[1].split(",", 1)[0], ln
+    assert plan.count("Window") <= 2  # one logical window (tree + detail)

@@ -994,3 +994,149 @@ def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "tx17_heaps_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, doc_id, unnest({_TOKS}) AS token FROM documents
+    ), first AS (
+      SELECT source, token, MIN(doc_id) AS doc_id
+      FROM tok GROUP BY source, token
+    ), newc AS (
+      SELECT source, doc_id, COUNT(*) AS new_tokens
+      FROM first GROUP BY source, doc_id
+    ), per_doc AS (
+      SELECT d.source, d.doc_id,
+             len({_TOKS}) AS n_tokens,
+             COALESCE(n.new_tokens, 0) AS new_tokens
+      FROM documents d LEFT JOIN newc n
+        ON d.source = n.source AND d.doc_id = n.doc_id
+    ), cum AS (
+      SELECT source,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS nn,
+             SUM(new_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS vv
+      FROM per_doc
+    ), pts AS (
+      SELECT source,
+             CAST(ROUND(ln(nn), 8) AS DECIMAL(18,8)) AS x,
+             CAST(ROUND(ln(vv), 8) AS DECIMAL(18,8)) AS y
+      FROM cum
+    ), st AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM pts GROUP BY source HAVING COUNT(*) >= 2
+    ), tot AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(new_tokens) AS BIGINT) AS n_vocab
+      FROM per_doc GROUP BY source
+    )
+    SELECT st.source, CAST(st.n_docs AS BIGINT) AS n_docs,
+           tot.n_tokens, tot.n_vocab,
+           ROUND((st.n_docs * st.sxy - st.sx * st.sy)
+                 / (st.n_docs * st.sxx - st.sx * st.sx), 6) + 0.0 AS heaps_beta
+    FROM st JOIN tot USING (source) ORDER BY st.source
+    """,
+    tags=("text", "heaps", "vocabulary", "quality"),
+    tables=("documents",),
+)
+def tx17_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: OLS slope beta of
+    ln(cumulative distinct tokens) on ln(cumulative tokens) over the
+    per-document boundary points of each source's doc_id-ordered stream
+    (V ~ K*N^beta). Natural text sits near beta ~ 0.5-0.8; a source whose
+    vocabulary SATURATES early (beta -> 0 as N grows) is duplicated or
+    template-heavy — the corpus-level saturation signal to tx12's Zipf
+    shape, and a cheaper first look than running the dedup family.
+
+    The cumulative-distinct curve uses the w9 first-seen decomposition: a
+    token's contribution to V happens at its MIN doc_id within the source,
+    so "new tokens per doc" is one (source, token) -> min aggregate —
+    vocabulary-sized, partial-aggregated map-side — and both running sums
+    ride ONE window. Cross-engine float discipline is tx12's: ln of exact
+    integers rounded to 8 decimals, summed as DECIMAL (order-independent),
+    closed-form slope in double from identical operands.
+
+    Scale posture: token instances never reach a shuffle (the first-seen
+    agg combines map-side); the window's input is ONE narrow row per
+    DOCUMENT, partitioned by source (plan-guarded — an unpartitioned
+    window would funnel the corpus through one task). For a source whose
+    doc COUNT alone overwhelms one partition, fit the same regression on a
+    log-decimated subset of boundary points (the fit needs ~10^3 curve
+    points, not 10^9); the fixture sources are orders below that wall."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_count, tokens as _tokens
+
+    docs = spark.table("documents")
+    first = (
+        docs.select("source", "doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    newc = first.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    per_doc = (
+        docs.select("source", "doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .join(newc, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = per_doc.select(
+        "source",
+        F.sum("n_tokens").over(w).alias("nn"),
+        F.sum("new_tokens").over(w).alias("vv"),
+    )
+    pts = cum.select(
+        "source",
+        F.round(F.log("nn"), 8).cast("decimal(18,8)").alias("x"),
+        F.round(F.log("vv"), 8).cast("decimal(18,8)").alias("y"),
+    )
+    st = (
+        pts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    tot = per_doc.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("new_tokens").cast("bigint").alias("n_vocab"),
+    )
+    return (
+        st.join(tot, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_tokens",
+            "n_vocab",
+            # + 0.0 normalizes IEEE negative zero: a slope rounding to zero
+            # from below is -0.0 in one engine and 0.0 in the other (caught
+            # by the sf0.001 mirror), and -0.0 + 0.0 == +0.0 in both
+            (
+                F.round(
+                    (F.col("n_docs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (
+                        F.col("n_docs") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("heaps_beta"),
+        )
+        .orderBy("source")
+    )
