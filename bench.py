@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     # round-13 additions
     "dd10_dup_span_scrub",
     "tx17_heaps_vocab_growth",
+    "tx18_bm25_topk",
 ]
 
 

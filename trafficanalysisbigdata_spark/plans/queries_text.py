@@ -1140,3 +1140,116 @@ def tx17_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BM25_TERMS = ("window", "merge", "sort")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
+
+
+@register(
+    "tx18_bm25_topk",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len({_TOKS}) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+      WHERE token IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)),
+             8) AS DECIMAL(18,8)) AS c
+      FROM tf JOIN dfreq d USING (token)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             ROUND(CAST(SUM(c) AS DOUBLE), 6) + 0.0 AS bm25
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
+    """,
+    tags=("text", "retrieval", "bm25", "topk"),
+    tables=("documents",),
+)
+def tx18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval top-k — the keyword-side retrieval the
+    embedding family (sim1-sim9) doesn't cover: rank documents for a fixed
+    term set by Okapi BM25 (k1=1.2, b=0.75, the Robertson idf with +1
+    floor so scores stay positive at any df). Data-curation pipelines run
+    exactly this shape for targeted subset extraction and eval-leak
+    triage where lexical match, not semantic similarity, is the contract.
+
+    Cross-engine float discipline (tx12's): every per-(doc, term)
+    contribution is computed in double from EXACT integer/scalar operands
+    (tf, df, N, dl integers; avgdl = one division of an exact integer sum)
+    with an identically-ordered expression tree on both engines, rounded
+    to 8 decimals, and summed per doc as DECIMAL — so the only float SUM
+    is exact and order-independent; + 0.0 normalizes negative zero.
+
+    Scale posture: the term list is a literal filter ON the postings
+    explode (tokens not in the query never leave the scan projection —
+    predicate applies before any shuffle), so tf is bounded by |terms| x
+    n_docs rows; df is |terms| rows broadcast back; the scalar (N, avgdl)
+    frame rides the engine's broadcast-crossJoin idiom; and the final
+    ranking is TakeOrderedAndProject (plan-guarded), never a global
+    sort."""
+    from ..functions.text import token_count, tokens as _tokens
+
+    docs = spark.table("documents")
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1)
+                )
+                * (F.col("tf") * F.lit(_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(_BM25_K1)
+                    * (
+                        F.lit(1 - _BM25_B)
+                        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            (F.round(F.sum("c").cast("double"), 6) + F.lit(0.0)).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
