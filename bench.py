@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "dd10_dup_span_scrub",
     "tx17_heaps_vocab_growth",
     "tx18_bm25_topk",
+    "pipe15_stratified_eval_sample",
 ]
 
 

@@ -514,3 +514,15 @@ def test_tx18_is_take_ordered_with_filtered_postings(spark, sf_dir):
     assert re.search(r"Filter .*token.*IN \(merge,sort,window\)|Filter .*token.* INSET", plan) or (
         "merge" in plan and "Generate" in plan
     ), plan
+
+
+def test_pipe15_rank_filter_compiles_to_group_limit(spark, sf_dir):
+    """pipe15's scale claim: rank() <= k must compile to WindowGroupLimit
+    with a PARTIAL mode (map tasks keep only their own per-stratum top-k
+    before the exchange) — a regression to the full per-stratum window
+    funnels each stratum through one task."""
+    plan = _plan(spark, sf_dir, "pipe15_stratified_eval_sample")
+    assert "WindowGroupLimit" in plan, plan
+    limits = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln]
+    assert any("Partial" in ln for ln in limits), plan
+    assert any("Final" in ln for ln in limits), plan

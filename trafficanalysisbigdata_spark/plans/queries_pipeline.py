@@ -1179,3 +1179,60 @@ def pipe14_containment_leak_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_P15_K = 20
+
+
+@register(
+    "pipe15_stratified_eval_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rank
+      FROM documents
+    )
+    SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_tokens
+    FROM r WHERE rank <= {_P15_K} ORDER BY lang, rank
+    """,
+    tags=("pipeline", "sampling", "eval", "llm-pipeline"),
+    tables=("documents",),
+)
+def pipe15_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-k eval-set sampling: per language stratum, the k
+    documents with the smallest md5(doc_id) — the deterministic-uniform
+    idiom every sampler in this engine uses (pipe4/pipe7: stable under
+    retries, re-runs, AND engines, where ``sample()`` is partition-order-
+    dependent and not oracle-checkable), here with an EXACT per-stratum
+    count instead of pipe4's rate: benchmark and holdout sets are
+    size-contracted ("exactly 500 per language"), not rate-contracted.
+
+    Scale posture: the naive rank-then-filter would funnel each stratum
+    through one task; Spark >= 3.5 rewrites rank() <= k into
+    WindowGroupLimit with a PARTIAL mode — every map task keeps only its
+    own top-k per stratum BEFORE the exchange, so per-task state is
+    k x (strata seen) rows and the final per-stratum sort touches at most
+    k x n_map_tasks rows, never the corpus. The plan guard pins both the
+    Partial and Final group-limit operators so a regression to the
+    full-window shape fails CI."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_count
+
+    docs = spark.table("documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _P15_K)
+        .select("lang", "rank", "doc_id", "n_tokens")
+        .orderBy("lang", "rank")
+    )
