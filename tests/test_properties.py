@@ -342,3 +342,50 @@ def test_dup_span_scrub_equals_reference(spark, texts):
             hashlib.md5(" ".join(kept).encode()).hexdigest(),
         )
         assert got[i] == exp, (i, texts)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=6).map(
+            lambda ts: " ".join(ts)
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_heaps_fit_equals_numpy_ols(spark, texts):
+    """tx17's closed-form slope against numpy lstsq on ANY corpus: the
+    engine's decimal-summed OLS over (ln cumulative tokens, ln cumulative
+    distinct) must match an independent numpy fit to 1e-6, and the totals
+    must equal the true stream counts."""
+    import numpy as np
+
+    from trafficanalysisbigdata_spark.plans.registry import load_all
+
+    docs = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    docs.createOrReplaceTempView("documents")
+    try:
+        rows = load_all()["tx17_heaps_vocab_growth"].fn(spark, "").collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert len(rows) == 1
+    r = rows[0]
+    seen: set = set()
+    pts, n_tok = [], 0
+    for t in texts:
+        toks = t.split(" ")
+        n_tok += len(toks)
+        seen.update(toks)
+        pts.append((np.log(n_tok), np.log(len(seen))))
+    assert r.n_tokens == n_tok and r.n_vocab == len(seen)
+    x = np.array([round(p[0], 8) for p in pts])
+    y = np.array([round(p[1], 8) for p in pts])
+    denom = len(x) * (x * x).sum() - x.sum() ** 2
+    if abs(denom) < 1e-12:
+        return  # degenerate (all-identical N): slope undefined, nothing to pin
+    beta = (len(x) * (x * y).sum() - x.sum() * y.sum()) / denom
+    assert abs(r.heaps_beta - round(beta, 6)) <= 1e-6, (texts, r.heaps_beta, beta)
