@@ -506,14 +506,31 @@ def test_tx18_is_take_ordered_with_filtered_postings(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tx18_bm25_topk")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    import re
 
-    # the IN-list filter applies in the same stage as the Generate (explode),
-    # before any exchange: find a Filter containing the term list and assert
-    # no Exchange appears between it and the Generate below it
-    assert re.search(r"Filter .*token.*IN \(merge,sort,window\)|Filter .*token.* INSET", plan) or (
-        "merge" in plan and "Generate" in plan
-    ), plan
+    # The term filter must be the DIRECT parent of every token-emitting
+    # Generate (explode): walking up from each Generate, the first
+    # Filter/Exchange/HashAggregate node reached must be the IN-list filter —
+    # a regression that lets the explode feed an exchange or aggregate before
+    # the term filter ships every token in the corpus through the shuffle.
+    lines = plan.splitlines()
+    gen_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "Generate explode" in ln and "token" in ln
+    ]
+    assert gen_idx, plan
+    for i in gen_idx:
+        parent = next(
+            (
+                lines[j]
+                for j in range(i - 1, -1, -1)
+                if any(k in lines[j] for k in ("Filter", "Exchange", "HashAggregate"))
+            ),
+            "",
+        )
+        assert "Filter" in parent and (
+            "IN (window,merge,sort)" in parent or "INSET" in parent
+        ), f"term filter not directly on the explode:\n{parent}\n{plan}"
 
 
 def test_pipe15_rank_filter_compiles_to_group_limit(spark, sf_dir):
@@ -523,6 +540,25 @@ def test_pipe15_rank_filter_compiles_to_group_limit(spark, sf_dir):
     funnels each stratum through one task."""
     plan = _plan(spark, sf_dir, "pipe15_stratified_eval_sample")
     assert "WindowGroupLimit" in plan, plan
+    limits = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln]
+    assert any("Partial" in ln for ln in limits), plan
+    assert any("Final" in ln for ln in limits), plan
+
+
+def test_pipe16_is_broadcast_only_with_group_limits(spark, sf_dir):
+    """pipe16's scale claim: the eval side is benchmark-sized by contract,
+    so EVERY join must be broadcast — stage 1 is the probes-broadcast
+    nested-loop over the int8 train scan, stage 2 and the source ledger
+    are BroadcastHashJoins — and both top-k selections must compile to
+    WindowGroupLimit with a Partial mode (map tasks keep their own
+    shortlist before the exchange). A SortMergeJoin or CartesianProduct
+    anywhere means the eval×train contract broke and the gate would
+    shuffle the train corpus."""
+    plan = _plan(spark, sf_dir, "pipe16_semantic_decontaminate")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
     limits = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln]
     assert any("Partial" in ln for ln in limits), plan
     assert any("Final" in ln for ln in limits), plan

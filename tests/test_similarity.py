@@ -886,3 +886,41 @@ def test_stage_true_rejects_manual_table_offset(spark):
             df, 0.9, n_tables=4, n_planes=4, dim=4, n_rows=8,
             table_offset=2, stage=True,
         )
+
+
+def test_pipe16_top1_agrees_with_bruteforce(spark, sf_dir):
+    """pipe16's leak gate ranks each eval doc's best train neighbor via the
+    int8-shortlist → exact-rerank path (k=1, shortlist 8); its docstring
+    claims near-perfect top-1 agreement with brute force on the fixtures —
+    pin that claim so a quantizer or shortlist regression that silently
+    degrades the gate's recall fails CI rather than shipping a leak scan
+    that misses the leaks."""
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        two_stage_rerank_topk,
+    )
+    from trafficanalysisbigdata_spark.plans.queries_pipeline import (
+        _P16_SHORTLIST,
+        _hash_frac,
+    )
+
+    prep(spark)
+    register_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    split = emb.select(
+        "vec_id", "embedding", (_hash_frac(F.col("vec_id")) < 0.9).alias("t")
+    )
+    train = split.filter("t").select("vec_id", "embedding")
+    ev = split.filter(~F.col("t")).select("vec_id", "embedding")
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_topk(train, ev, k=1).collect()
+    }
+    gate = {
+        r.query_id: r.neighbor_id
+        for r in two_stage_rerank_topk(
+            train, ev, k=1, shortlist_factor=_P16_SHORTLIST
+        ).collect()
+    }
+    assert set(gate) == set(exact)
+    agree = sum(1 for q, n in exact.items() if gate[q] == n) / len(exact)
+    assert agree >= 0.9, f"top-1 agreement too low: {agree}"

@@ -459,6 +459,16 @@ def dup_span_scrub(
     spans keeps clean_md5 == md5(text) (single-space corpus contract), and
     a fully-duplicated doc scrubs to md5('').
 
+    "Exact" is exact-MATCH semantics over xxhash64(shingle) fingerprints,
+    not raw strings (same split as tx13/dd7, documented there): a 64-bit
+    collision between two different shingles in different docs would scrub
+    a non-duplicated span. By the birthday bound that stays improbable up
+    to ~10^8 distinct shingles per corpus (p < 3e-4) and is expected by
+    ~5e9 — at the full 100 TB posture, widen the key to
+    struct(xxhash64(sh), xxhash64(reverse(sh))) (128 effective bits, same
+    postings shape) or accept the one-in-a-corpus false scrub; the oracle
+    groups raw strings, so the fixture gate would catch a collision.
+
     Plan shape (the dd7 scale posture, plus one anti join and one bounded
     rebuild): shingle postings travel as (xxhash64, doc_id, start) — long
     keys, partial-aggregated document frequency; covered positions are a

@@ -1236,3 +1236,140 @@ def pipe15_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("lang", "rank", "doc_id", "n_tokens")
         .orderBy("lang", "rank")
     )
+
+
+_P16_SHORTLIST = 8  # quantized candidates per eval doc before exact rerank
+_P16_BAR = 0.4  # leak bar on exact cosine — see docstring for calibration
+
+
+@register(
+    "pipe16_semantic_decontaminate",
+    oracle=f"""
+    WITH split AS (
+      SELECT vec_id,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               / {_HEX_MOD} < 0.9 AS is_train
+      FROM embeddings
+    ), qe AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> coalesce(CAST(floor(x * (127.0 / nullif(
+                      list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                              y -> abs(y))), 0)) + 0.5) AS INT), 0)) AS qv
+      FROM embeddings
+    ), qn AS (
+      SELECT vec_id, qv,
+             CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                                   CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
+      FROM qe
+    ), stage1 AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(CAST(list_dot_product(CAST(p.qv AS DOUBLE[]),
+                                         CAST(c.qv AS DOUBLE[])) AS BIGINT)
+                   / sqrt(CAST(p.nn * c.nn AS DOUBLE)), 6) AS qcos
+      FROM (SELECT qn.* FROM qn JOIN split USING (vec_id) WHERE is_train) c
+      CROSS JOIN (SELECT qn.* FROM qn JOIN split USING (vec_id)
+                  WHERE NOT is_train) p
+      WHERE c.vec_id <> p.vec_id AND p.nn > 0 AND c.nn > 0
+    ), short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY qcos DESC, neighbor_id) AS rn
+        FROM stage1
+      ) t WHERE rn <= {_P16_SHORTLIST}
+    ), best AS (
+      SELECT query_id, cos FROM (
+        SELECT s.query_id,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(n.embedding AS DOUBLE[])), 6) AS cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                       CAST(n.embedding AS DOUBLE[])), 6) DESC,
+                          s.neighbor_id) AS rn
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings n ON n.vec_id = s.neighbor_id
+      ) t WHERE rn <= 1
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_scored,
+           CAST(SUM(CASE WHEN cos >= {_P16_BAR}e0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked,
+           ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE), 6) + 0.0
+             AS sum_max_cos
+    FROM best b JOIN documents d ON b.query_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("pipeline", "decontamination", "embedding", "similarity", "llm-pipeline"),
+    tables=("documents", "embeddings"),
+)
+def pipe16_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-tier) decontamination — the fourth leak gate
+    after pipe5 (exact 5-gram), pipe13 (symmetric near-dup) and pipe14
+    (directional containment), closing the case all three lexical tiers
+    structurally miss: an eval doc PARAPHRASED into train text shares no
+    shingles but sits next to it in embedding space. Same 90/10
+    deterministic md5 split contract as pipe13/pipe14 (ids are shared
+    between documents and embeddings, so the split is consistent across
+    all four tiers); for each eval doc, sim9's two-stage retrieval against
+    the TRAIN side — int8-quantized shortlist (8 candidates) then exact
+    float-cosine rerank to the single best train neighbor — and a
+    per-source ledger: eval docs scored, docs over the leak bar, and the
+    summed best-neighbor cosine mass (DECIMAL-summed, order-independent).
+
+    Both stages are deterministic (exact integer dots; rounded cosine; id
+    tie-breaks), so unlike a KMeans-IVF route the WHOLE gate is
+    value-oracle-checked, shortlist boundary effects included. The top-1
+    is the exact-best WITHIN the quantized shortlist — the standard rerank
+    recall trade, measured 1.0 top-1 agreement with brute force on both
+    fixtures (tests/test_similarity.py, bar ≥ 0.9). The 0.4 bar is
+    fixture-calibrated:
+    the synthetic embeddings' eval-vs-train best-cosine tops out ≈ 0.51,
+    so 0.95 (a production paraphrase bar) would make the gate vacuously
+    zero; 0.4 sits inside the fixture's decision-rich region so both
+    branches of the ledger carry driver-checked signal. The bar is a named
+    constant, not a tuned magic number.
+
+    Scale posture (pipe14's contract, embedding-side): the eval side is
+    benchmark-sized by contract, so stage 1 is ONE train-corpus scan of
+    int8 vectors (4x fewer bytes than float) with the eval probes
+    broadcast — zero train shuffle, no train x train pair ever forms; the
+    shortlist (n_eval x 8 rows) and probe vectors broadcast into stage 2,
+    so full-precision train vectors are touched at shortlist selectivity
+    only. Plan-guarded: no CartesianProduct, no SortMergeJoin — every join
+    is broadcast by construction."""
+    from ..operators.similarity import two_stage_rerank_topk
+
+    emb = spark.table("embeddings")
+    docs = spark.table("documents")
+    split = emb.select(
+        "vec_id",
+        "embedding",
+        (_hash_frac(F.col("vec_id")) < 0.9).alias("is_train"),
+    )
+    train = split.filter(F.col("is_train")).select("vec_id", "embedding")
+    evalp = split.filter(~F.col("is_train")).select("vec_id", "embedding")
+    best = two_stage_rerank_topk(
+        train, evalp, k=1, shortlist_factor=_P16_SHORTLIST
+    ).select("query_id", "cos")
+    # broadcast the EVAL-side ledger (benchmark-sized by contract) onto the
+    # documents scan — never the corpus-sized source map
+    return (
+        docs.select(F.col("doc_id").alias("query_id"), "source")
+        .join(F.broadcast(best), "query_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_scored"),
+            F.sum((F.col("cos") >= F.lit(_P16_BAR)).cast("bigint")).alias(
+                "n_leaked"
+            ),
+            (
+                F.round(
+                    F.sum(F.col("cos").cast("decimal(18,6)")).cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("sum_max_cos"),
+        )
+        .orderBy("source")
+    )

@@ -1163,9 +1163,9 @@ _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
     ), contrib AS (
       SELECT tf.doc_id,
              CAST(ROUND(
-               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
-               * (tf.tf * ({_BM25_K1} + 1))
-               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)),
+               ln((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0) + 1)
+               * (tf.tf * ({_BM25_K1}e0 + 1))
+               / (tf.tf + {_BM25_K1}e0 * (1e0 - {_BM25_B}e0 + {_BM25_B}e0 * dl.dl / s.avgdl)),
              8) AS DECIMAL(18,8)) AS c
       FROM tf JOIN dfreq d USING (token)
               JOIN dl ON tf.doc_id = dl.doc_id
@@ -1194,7 +1194,11 @@ def tx18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf, df, N, dl integers; avgdl = one division of an exact integer sum)
     with an identically-ordered expression tree on both engines, rounded
     to 8 decimals, and summed per doc as DECIMAL — so the only float SUM
-    is exact and order-independent; + 0.0 normalizes negative zero.
+    is exact and order-independent; + 0.0 normalizes negative zero. The
+    oracle's constants carry `e0` suffixes (1.2e0, 0.5e0, ...) because a
+    bare `1.2 + 1` parses as DECIMAL in DuckDB, and decimal-exact 2.2
+    differs from double(1.2)+1 by 1 ulp — enough to flip a contribution
+    sitting within ~1e-15 of a rounding boundary (r13 advice).
 
     Scale posture: the term list is a literal filter ON the postings
     explode (tokens not in the query never leave the scan projection —
