@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "pipe15_stratified_eval_sample",
     # round-14 additions
     "pipe16_semantic_decontaminate",
+    "tx19_hybrid_rrf_fusion",
 ]
 
 

@@ -562,3 +562,30 @@ def test_pipe16_is_broadcast_only_with_group_limits(spark, sf_dir):
     limits = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln]
     assert any("Partial" in ln for ln in limits), plan
     assert any("Final" in ln for ln in limits), plan
+
+
+def test_tx19_fusion_inputs_are_rank_bounded(spark, sf_dir):
+    """tx19's scale claim: fusion state is ≤ 2×50 rows BY CONSTRUCTION —
+    the lexical leg truncates via TakeOrderedAndProject(50) BEFORE its
+    unpartitioned rank window, the semantic leg's per-probe top-50 keeps a
+    map-side WindowGroupLimit Partial before any exchange, and the final
+    fused ranking is TakeOrderedAndProject(20). A regression that feeds
+    either unpartitioned window the untruncated corpus is the
+    single-reducer sort this engine bans."""
+    plan = _plan(spark, sf_dir, "tx19_hybrid_rrf_fusion")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "TakeOrderedAndProject(limit=50" in plan, plan
+    lines = plan.splitlines()
+    sem_win = [
+        i
+        for i, ln in enumerate(lines)
+        if "windowspecdefinition(cos" in ln and "sem_rank" in ln
+    ]
+    assert sem_win, plan
+    below = lines[sem_win[0] :]
+    first_scan = next(j for j, ln in enumerate(below) if "FileScan" in ln)
+    assert any(
+        "WindowGroupLimit" in ln and "Partial" in ln
+        for ln in below[:first_scan]
+    ), plan

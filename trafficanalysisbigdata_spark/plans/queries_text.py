@@ -1145,11 +1145,9 @@ def tx17_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("window", "merge", "sort")
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
 
-
-@register(
-    "tx18_bm25_topk",
-    oracle=f"""
-    WITH dl AS (
+# Shared BM25 CTE block (tx18 ranking + tx19 fusion): ends at `scored`
+# (doc_id, n_terms, bm25). Constants carry e0 suffixes — see tx18 docstring.
+_BM25_CTES = f"""dl AS (
       SELECT doc_id, len({_TOKS}) AS dl FROM documents
     ), stats AS (
       SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
@@ -1174,7 +1172,13 @@ _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
              ROUND(CAST(SUM(c) AS DOUBLE), 6) + 0.0 AS bm25
       FROM contrib GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "tx18_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT doc_id, n_terms, bm25 FROM scored
     ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
     """,
@@ -1207,6 +1211,17 @@ def tx18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame rides the engine's broadcast-crossJoin idiom; and the final
     ranking is TakeOrderedAndProject (plan-guarded), never a global
     sort."""
+    return (
+        _bm25_scored(spark)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
+
+
+def _bm25_scored(spark: SparkSession) -> DataFrame:
+    """(doc_id, n_terms, bm25) — the Okapi BM25 scoring frame shared by
+    tx18 (direct ranking) and tx19 (the lexical leg of RRF fusion). See
+    tx18's docstring for the float discipline and scale posture."""
     from ..functions.text import token_count, tokens as _tokens
 
     docs = spark.table("documents")
@@ -1248,12 +1263,117 @@ def tx18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        (F.round(F.sum("c").cast("double"), 6) + F.lit(0.0)).alias("bm25"),
+    )
+
+
+_RRF_N = 50  # depth of each input ranking fed to the fusion
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_TOP = 20  # fused results returned
+_RRF_QVEC = 0  # probe id for the semantic leg
+
+
+@register(
+    "tx19_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES}, lexn AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM scored
+      ) t WHERE lex_rank <= {_RRF_N}
+    ), sem0 AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings c
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QVEC}) p
+      WHERE c.vec_id <> {_RRF_QVEC}
+    ), semr AS (
+      SELECT doc_id, sem_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+        FROM sem0
+      ) t WHERE sem_rank <= {_RRF_N}
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+             CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+             CAST(COALESCE(CAST(ROUND(1e0 / ({_RRF_C} + l.lex_rank), 8)
+                                AS DECIMAL(18,8)), 0)
+                + COALESCE(CAST(ROUND(1e0 / ({_RRF_C} + s.sem_rank), 8)
+                                AS DECIMAL(18,8)), 0) AS DOUBLE) AS rrf_score
+      FROM lexn l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+    tags=("text", "retrieval", "fusion", "similarity", "topk"),
+    tables=("documents", "embeddings"),
+)
+def tx19_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion — reciprocal-rank fusion (RRF, the standard
+    score-free combiner) of the two retrieval legs this engine serves:
+    tx18's BM25 lexical ranking and sim1's exact-cosine semantic ranking
+    for one probe embedding. score(d) = Σ_legs 1/(C + rank_leg(d)) with
+    C = 60, over each leg's top-50; docs absent from a leg contribute 0
+    (reported rank 0). This is how retrieval is actually served: lexical
+    catches exact keyword matches the embedding smooths over, semantic
+    catches paraphrases BM25 can't see, and rank fusion needs no score
+    calibration between the two scales.
+
+    Exactness: both input ranks are INTEGERS with deterministic
+    construction (BM25's decimal-summed scores + doc_id tie-break; rounded
+    cosine + id tie-break), each RRF contribution is ONE IEEE division of
+    exact integers (bit-identical cross-engine, e0-literal discipline in
+    the oracle) rounded to 8 decimals, and the two contributions sum as
+    DECIMAL — the whole fused score is reproducible to the last bit.
+
+    Scale posture: each leg truncates to its top-50 BEFORE fusion — the
+    lexical leg via TakeOrderedAndProject over the term-filtered postings
+    aggregate (tx18's plan), the semantic leg via the probe-broadcast
+    corpus scan with WindowGroupLimit (sim1's plan) — so the fusion join,
+    the only unpartitioned windows, and the final sort all run over ≤ 100
+    rows BY CONSTRUCTION regardless of corpus size (plan-guarded: both
+    rank windows sit above rank-k-bounded inputs; no cartesian)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        _bm25_scored(spark)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= _RRF_N)
+        .select("doc_id", "lex_rank")
+    )
+    probe = emb.filter(F.col("vec_id") == _RRF_QVEC)
+    ws = Window.orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    sem = (
+        brute_force_topk(emb, probe, k=_RRF_N)
+        .withColumn("sem_rank", F.row_number().over(ws))
+        .select(F.col("neighbor_id").alias("doc_id"), "sem_rank")
+    )
+    zero = F.lit(0).cast("decimal(18,8)")
+    contrib = lambda rank: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(_RRF_C) + F.col(rank)), 8).cast(
+            "decimal(18,8)"
+        ),
+        zero,
+    )
     return (
-        contrib.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            (F.round(F.sum("c").cast("double"), 6) + F.lit(0.0)).alias("bm25"),
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+            (contrib("lex_rank") + contrib("sem_rank"))
+            .cast("double")
+            .alias("rrf_score"),
         )
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(_BM25_K)
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
     )
