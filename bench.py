@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     # round-14 additions
     "pipe16_semantic_decontaminate",
     "tx19_hybrid_rrf_fusion",
+    "tx17b_heaps_vocab_decimated",
 ]
 
 

@@ -1661,6 +1661,77 @@ def run_sim4_auto_1m_mode(spark) -> None:
     print(json.dumps({"mode": "sim4auto1m", **res}))
 
 
+def run_r14_heaps_mode(spark) -> None:
+    """Round-14 receipt (verdict item #4): tx17's decimation dial measured
+    one decade past the single-window wall's first load-bearing point.
+
+    Stage-split protocol (the pipe14/r13 precedent): both paths share
+    tx17's tokenize -> first-seen front end (receipted scan-dominated and
+    linear at 500k/1M in r13), so this isolates the stage the dial CHANGES
+    — the per-source running sums + OLS fit over a per_doc frame (source,
+    doc_id, n_tokens, new_tokens) with ONE source: the adversarial shape,
+    where the dial-off window path funnels every row through a single
+    task and the dial-on path (grouped two-phase prefix-sums + log-bucket
+    decimation, tx17b's registered stage code via _heaps_fit_from) spreads
+    the same rows over (source, range-bucket) partitions and fits on
+    ~20·log10(N) points.
+
+    ``R14_N`` sets the row count (default 10M; run 100M as a separate
+    invocation — the r13 one-JVM-per-heavy-section lesson). Timings are
+    min-of-2 after a warm pass at 10M, single-pass at 100M.
+    """
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.plans.queries_text import (
+        _TX17B_PPD,
+        _heaps_fit_from,
+    )
+
+    n = int(os.environ.get("R14_N", "10000000"))
+    tag = f"{n // 1_000_000}m"
+    path = f"{BASE}/heaps_perdoc_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            spark.range(n)
+            .select(
+                F.lit("big").alias("source"),
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 97 + 5).cast("long").alias("n_tokens"),
+                (
+                    F.when(F.col("id") == 0, F.lit(3))
+                    .otherwise(((F.col("id") % 13) == 0).cast("long") * 2)
+                ).alias("new_tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        print(f"  generated {n} per_doc rows at {path}", file=sys.stderr)
+
+    def run(ppd: int):
+        per_doc = spark.read.parquet(path)
+        return _heaps_fit_from(per_doc, points_per_decade=ppd)
+
+    passes = 2 if n <= 20_000_000 else 1
+    out: dict = {"n_rows": n}
+    for label, ppd in (("window_path", 0), ("decimated_path", _TX17B_PPD)):
+        rows = run(ppd).collect()  # tiny result; collect IS the fit output
+        ts = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            rows = run(ppd).collect()
+            ts.append(round(time.perf_counter() - t0, 2))
+        out[label] = min(ts)
+        out[f"{label}_beta"] = rows[0]["heaps_beta"] if rows else None
+        out[f"{label}_points"] = rows[0]["n_docs"] if rows else None
+        print(
+            f"  {label}: {out[label]} s, beta={out[f'{label}_beta']}, "
+            f"fit_points={out[f'{label}_points']}",
+            file=sys.stderr,
+            flush=True,
+        )
+    print("r14heaps: " + json.dumps(out))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -1737,6 +1808,19 @@ def main() -> None:
         # the doc-postings family one decade past its 500k receipts
         spark.conf.set("spark.sql.shuffle.partitions", "256")
         run_100x_mode(spark, sizes={"1m": 1_000_000})
+        return
+    if wanted == ["r14heaps"]:
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        run_r14_heaps_mode(spark)
+        return
+    if wanted == ["sim4m"]:
+        # one full decade past the 1M receipt (r13 verdict item #7): keeps
+        # the dial-validation one decade ahead of the corpus fixtures; at
+        # 4M the occupancy rule derives P=14 — the cap itself — so this is
+        # the first corpus exercising the cap boundary
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        os.environ.setdefault("LSH_OPS", "sim3")
+        run_100x_lsh_mode(spark, sizes={"4m": 4_000_000})
         return
     if wanted == ["sim2m"]:
         # half-decade past the 1M receipt: first corpus where the occupancy

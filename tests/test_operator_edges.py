@@ -635,3 +635,53 @@ def test_connected_components_no_edges(spark):
 
     pairs = spark.createDataFrame([], "doc1 long, doc2 long")
     assert connected_components(pairs).count() == 0
+
+
+def test_two_phase_prefix_sums_grouped_matches_naive(spark):
+    """two_phase_prefix_sums (grouped, multi-column) == per-group naive
+    window cumsums, on a frame with duplicate keys spanning bucket-cut
+    candidates and groups of unequal size; empty frame returns empty."""
+    from pyspark.sql.window import Window
+
+    from trafficanalysisbigdata_spark.operators.prefixsum import (
+        two_phase_prefix_sums,
+    )
+
+    rows = [
+        (i, g, float(k), v, w)
+        for i, (g, k, v, w) in enumerate(
+            [
+                ("a", 5, 10, 1), ("a", 1, 1, 2), ("a", 5, 20, 3),
+                ("b", 3, 7, 4), ("a", 1, 2, 5), ("b", 9, 100, 6),
+                ("b", 3, 5, 7), ("a", 5, 30, 8), ("c", 2, 11, 9),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, key double, v long, w long")
+    naive_w = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("key"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = {
+        r["id"]: (r["cv"], r["cw"])
+        for r in df.withColumn("cv", F.sum("v").over(naive_w))
+        .withColumn("cw", F.sum("w").over(naive_w))
+        .collect()
+    }
+    got = two_phase_prefix_sums(
+        df.repartition(4),
+        key="key",
+        values={"cv": "v", "cw": "w"},
+        group=("g",),
+        tiebreak=("id",),
+        n_buckets=3,
+    ).collect()
+    assert {r["id"]: (r["cv"], r["cw"]) for r in got} == naive
+
+    empty = spark.createDataFrame([], "id long, g string, key double, v long")
+    out = two_phase_prefix_sums(
+        empty, key="key", values={"cv": "v"}, group=("g",)
+    )
+    assert out.count() == 0
+    assert "cv" in out.columns

@@ -589,3 +589,21 @@ def test_tx19_fusion_inputs_are_rank_bounded(spark, sf_dir):
         "WindowGroupLimit" in ln and "Partial" in ln
         for ln in below[:first_scan]
     ), plan
+
+
+def test_tx17b_no_unpartitioned_window(spark, sf_dir):
+    """tx17b's scale claim (the tx17 decimation dial): the running sums and
+    the offset ledger must ride PARTITIONED windows only — the local
+    cumsums by (source, range-bucket), the ledger by source — so no task
+    ever sorts more than one source-bucket or one source's n_buckets
+    ledger rows. An unpartitioned windowspec here means the dial silently
+    regressed to the single-reducer cumsum it exists to avoid."""
+    plan = _plan(spark, sf_dir, "tx17b_heaps_vocab_decimated")
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs, plan
+    for ln in specs:
+        spec = ln.split("windowspecdefinition", 1)[1]
+        head = spec.split("specifiedwindowframe", 1)[0]
+        assert "source" in head, ln

@@ -108,3 +108,87 @@ def two_phase_prefix_sum(
         .withColumn(out, F.col(_LOCAL) + F.col(_OFFSET))
         .drop(_PID, _LOCAL, _OFFSET)
     )
+
+
+def two_phase_prefix_sums(
+    df: DataFrame,
+    key: str,
+    values: dict[str, str],
+    group: tuple[str, ...] = (),
+    tiebreak: tuple[str, ...] = (),
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Grouped, multi-column generalization of ``two_phase_prefix_sum``:
+    append ``out`` = running sum of ``value`` for every (out, value) in
+    ``values``, over ``df`` ordered by (``key`` asc, ``tiebreak...`` asc)
+    WITHIN each ``group`` — all running sums ride ONE partitioned window
+    (the tx17 discipline), with no unpartitioned window anywhere.
+
+    Derivation from the audited single-column form: the range cuts stay
+    GLOBAL literals over ``key`` (one 1-row percentile_approx action — a
+    per-group quantile would need a per-group action or a skew-prone
+    two-level agg, and the cuts need only spread work, not balance it
+    per-group); the local window partitions by (group..., bucket); the
+    offset ledger is one row per (group..., bucket) — n_groups x n_buckets
+    rows, broadcast back — and its cumulative-offset window partitions by
+    the group columns, so the only per-group serial state is the ledger's
+    n_buckets rows, never the group's data. Equal keys always share a
+    bucket, so correctness is independent of cut placement (the parent
+    operator's determinism argument applies unchanged).
+
+    Consumers: tx17's decimated Heaps-fit path (running token/vocab/rank
+    sums per source for corpora whose per-source doc count outgrows one
+    window task)."""
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = (
+        df.select(
+            F.percentile_approx(F.col(key).cast("double"), fracs, 10000).alias("c")
+        ).first()["c"]
+        or []
+    )
+    kd = F.col(key).cast("double")
+    bucket = reduce(
+        lambda acc, c: acc + F.when(kd > F.lit(c), 1).otherwise(0),
+        cuts,
+        F.lit(0),
+    )
+    ranged = df.withColumn(_PID, bucket)
+    order = [F.asc(key)] + [F.asc(t) for t in tiebreak]
+    w_local = (
+        Window.partitionBy(*group, _PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.select(
+        "*",
+        *[
+            F.sum(val).over(w_local).alias(f"{_LOCAL}_{out}")
+            for out, val in values.items()
+        ],
+    )
+    ptot = local.groupBy(*group, _PID).agg(
+        *[F.sum(val).alias(f"__p_{out}") for out, val in values.items()]
+    )
+    w_off = (
+        Window.partitionBy(*(group if group else (F.lit(0),)))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ledger = ptot.select(
+        *group,
+        F.col(_PID),
+        *[
+            F.coalesce(F.sum(f"__p_{out}").over(w_off), F.lit(0)).alias(
+                f"{_OFFSET}_{out}"
+            )
+            for out in values
+        ],
+    )
+    joined = local.join(F.broadcast(ledger), [*group, _PID])
+    for out in values:
+        joined = joined.withColumn(
+            out, F.col(f"{_LOCAL}_{out}") + F.col(f"{_OFFSET}_{out}")
+        )
+    return joined.drop(
+        _PID, *[f"{_LOCAL}_{out}" for out in values], *[f"{_OFFSET}_{out}" for out in values]
+    )

@@ -1064,9 +1064,24 @@ def tx17_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg combines map-side); the window's input is ONE narrow row per
     DOCUMENT, partitioned by source (plan-guarded — an unpartitioned
     window would funnel the corpus through one task). For a source whose
-    doc COUNT alone overwhelms one partition, fit the same regression on a
-    log-decimated subset of boundary points (the fit needs ~10^3 curve
-    points, not 10^9); the fixture sources are orders below that wall."""
+    doc COUNT alone overwhelms one partition, set
+    ``spark.trafficanalysisbigdata.heaps.pointsPerDecade`` (> 0): the
+    running sums switch to the grouped two-phase prefix-sum
+    (operators/prefixsum.py — the olap9/pipe11 shape, windows partitioned
+    by (source, range-bucket)) and the fit runs on log-decimated boundary
+    points (first rank in each 10^(1/ppd) bucket — the fit needs ~10^2-3
+    curve points, not 10^9). tx17b registers the dial-on form with its own
+    exact oracle; the dial-off default keeps this query's plan unchanged."""
+    ppd = int(
+        spark.conf.get("spark.trafficanalysisbigdata.heaps.pointsPerDecade", "0")
+    )
+    return _heaps_fit(spark, points_per_decade=ppd)
+
+
+def _heaps_fit(spark: SparkSession, points_per_decade: int) -> DataFrame:
+    """Shared Heaps'-law fit pipeline: tx17 (dial-off window cumsum, or
+    conf-engaged decimation) and tx17b (decimation forced on). See tx17's
+    docstring for semantics and float discipline."""
     from pyspark.sql.window import Window
 
     from ..functions.text import token_count, tokens as _tokens
@@ -1090,12 +1105,51 @@ def tx17_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
         )
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    cum = per_doc.select(
-        "source",
-        F.sum("n_tokens").over(w).alias("nn"),
-        F.sum("new_tokens").over(w).alias("vv"),
-    )
+    return _heaps_fit_from(per_doc, points_per_decade)
+
+
+def _heaps_fit_from(per_doc: DataFrame, points_per_decade: int) -> DataFrame:
+    """Running sums + OLS over an already-built per_doc frame (source,
+    doc_id, n_tokens, new_tokens) — split out so the scale rehearsal can
+    drive the exact stage the decimation dial changes, on a synthetic
+    per_doc shape, without re-tokenizing a corpus."""
+    from pyspark.sql.window import Window
+
+    if points_per_decade <= 0:
+        w = Window.partitionBy("source").orderBy("doc_id")
+        cum = per_doc.select(
+            "source",
+            F.sum("n_tokens").over(w).alias("nn"),
+            F.sum("new_tokens").over(w).alias("vv"),
+        )
+    else:
+        from ..operators.prefixsum import two_phase_prefix_sums
+
+        # Distributed running sums (rank rides the same window as the two
+        # token sums), then keep only the FIRST rank in each 10^(1/ppd)
+        # log bucket. Bucket edges fall on irrational ranks except exact
+        # powers of ten (where IEEE log10 of an exact integer is exact in
+        # both engines), and an integer rank sits >= ~ppd/(rk*ln10) away
+        # from the nearest edge in bucket units vs ~1e-13 float error —
+        # so the kept set is engine-identical through rk ~ 1e12.
+        cum_full = two_phase_prefix_sums(
+            per_doc.withColumn("__one", F.lit(1)),
+            key="doc_id",
+            values={"nn": "n_tokens", "vv": "new_tokens", "rk": "__one"},
+            group=("source",),
+        )
+        ppd_lit = F.lit(points_per_decade)
+        decile = lambda c: F.floor(F.log10(c) * ppd_lit)  # noqa: E731
+        # greatest(rk-1, 1) keeps log10's argument positive on the first
+        # rank (rk=1 is kept by its own disjunct) — no engine-dependent
+        # log-of-zero semantics anywhere
+        cum = cum_full.filter(
+            (F.col("rk") == 1)
+            | (
+                decile(F.col("rk"))
+                != decile(F.greatest(F.col("rk") - 1, F.lit(1)))
+            )
+        ).select("source", "nn", "vv")
     pts = cum.select(
         "source",
         F.round(F.log("nn"), 8).cast("decimal(18,8)").alias("x"),
@@ -1140,6 +1194,83 @@ def tx17_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_TX17B_PPD = 20  # decimation dial: fit points per decade of corpus rank
+
+
+@register(
+    "tx17b_heaps_vocab_decimated",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, doc_id, unnest({_TOKS}) AS token FROM documents
+    ), first AS (
+      SELECT source, token, MIN(doc_id) AS doc_id
+      FROM tok GROUP BY source, token
+    ), newc AS (
+      SELECT source, doc_id, COUNT(*) AS new_tokens
+      FROM first GROUP BY source, doc_id
+    ), per_doc AS (
+      SELECT d.source, d.doc_id,
+             len({_TOKS}) AS n_tokens,
+             COALESCE(n.new_tokens, 0) AS new_tokens
+      FROM documents d LEFT JOIN newc n
+        ON d.source = n.source AND d.doc_id = n.doc_id
+    ), cum AS (
+      SELECT source,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS nn,
+             SUM(new_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS vv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM per_doc
+    ), dec AS (
+      SELECT source, nn, vv FROM cum
+      WHERE rk = 1
+         OR floor(log10(rk) * {_TX17B_PPD})
+            <> floor(log10(greatest(rk - 1, 1)) * {_TX17B_PPD})
+    ), pts AS (
+      SELECT source,
+             CAST(ROUND(ln(nn), 8) AS DECIMAL(18,8)) AS x,
+             CAST(ROUND(ln(vv), 8) AS DECIMAL(18,8)) AS y
+      FROM dec
+    ), st AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM pts GROUP BY source HAVING COUNT(*) >= 2
+    ), tot AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(new_tokens) AS BIGINT) AS n_vocab
+      FROM per_doc GROUP BY source
+    )
+    SELECT st.source, CAST(st.n_docs AS BIGINT) AS n_docs,
+           tot.n_tokens, tot.n_vocab,
+           ROUND((st.n_docs * st.sxy - st.sx * st.sy)
+                 / (st.n_docs * st.sxx - st.sx * st.sx), 6) + 0.0 AS heaps_beta
+    FROM st JOIN tot USING (source) ORDER BY st.source
+    """,
+    tags=("text", "heaps", "vocabulary", "quality", "scale-dial"),
+    tables=("documents",),
+)
+def tx17b_heaps_vocab_decimated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx17's Heaps'-law fit with the DECIMATION DIAL FORCED ON (20 fit
+    points per decade of per-source rank) — the scale path for a source
+    whose document count alone overwhelms one window task. The running
+    (token, vocab, rank) sums ride ONE grouped two-phase prefix-sum
+    (operators/prefixsum.two_phase_prefix_sums: windows partitioned by
+    (source, range-bucket), offset ledger n_sources x n_buckets rows,
+    broadcast back — no unpartitioned window, plan-guarded), and the OLS
+    fit keeps only the first rank of each 10^(1/20) log bucket: a 10^9-doc
+    source contributes ~180 curve points instead of 10^9 rows through one
+    sort. n_docs reports FITTED POINTS (the decimated count); n_tokens /
+    n_vocab stay corpus-exact. Decimation selection is engine-identical
+    (exact-integer ranks sit >= ~ppd/(rk*ln10) bucket-units from any edge
+    vs ~1e-13 log10 error), so the whole decimated path — bucketing,
+    selection, sums, slope — is value-oracle-checked; at fixture scale
+    (~25 docs/source) ranks 11+ decimate, exercising both filter branches.
+    Registered separately from tx17 so the driver checks BOTH paths every
+    rotation; the conf dial (tx17 docstring) routes production corpora."""
+    return _heaps_fit(spark, points_per_decade=_TX17B_PPD)
 
 
 _BM25_TERMS = ("window", "merge", "sort")
