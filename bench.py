@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "pipe16_semantic_decontaminate",
     "tx19_hybrid_rrf_fusion",
     "tx17b_heaps_vocab_decimated",
+    "sim10_mmr_diversified_topk",
+    "dd11_cdc_chunk_dedup",
 ]
 
 

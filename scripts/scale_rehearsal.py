@@ -1732,6 +1732,56 @@ def run_r14_heaps_mode(spark) -> None:
     print("r14heaps: " + json.dumps(out))
 
 
+
+def run_r14b_mode(spark) -> None:
+    """Round-14 receipts for the two new ops (neither has a tunable dial;
+    both make structural scale claims the fixtures can't stress):
+
+    * dd11 (CDC chunk dedup) at 500k and 1M docs — the claim is ONE
+      token-row exchange plus 16-byte fp partial aggs, i.e. the same
+      linear posture as the receipted dd7/tx9 postings scans; the 2x
+      step makes curvature visible.
+    * sim10 (MMR diversified top-k) at 1M vectors — the claim is that
+      corpus cost is exactly TWO scans (brute-force shortlist + broadcast
+      vector fetch) and everything past them is shortlist-sized; measured
+      at the decade the other ANN receipts use.
+
+    min-of-2 after a warm pass (the r12dd4pipe protocol)."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators import dedup as dd
+    from trafficanalysisbigdata_spark.operators import similarity as sim
+
+    def timed(fn, passes=2):
+        fn().write.format("noop").mode("overwrite").save()  # warm codegen
+        ts = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 2))
+        return ts
+
+    ops = set(os.environ.get("R14B_OPS", "dd11,sim10").split(","))
+    if "dd11" in ops:
+        for tag, dp in (("500k", f"{BASE}/docs_dist_100x"),
+                        ("1m", f"{BASE}/docs_dist_1m")):
+            if not os.path.exists(f"{dp}/_SUCCESS"):
+                gen_documents_dist(spark, 500_000 if tag == "500k" else 1_000_000, dp)
+            docs = spark.read.parquet(dp)
+            ts = timed(lambda: dd.cdc_chunk_dedup_stats(docs))
+            print(f"  dd11 {tag}: {ts} -> {min(ts)}s", file=sys.stderr, flush=True)
+            print(json.dumps({"op": "dd11_cdc_chunk_dedup", "tag": tag, "wall_s": min(ts)}))
+    if "sim10" in ops:
+        ep = f"{BASE}/emb_dist_1m"
+        if not os.path.exists(f"{ep}/_SUCCESS"):
+            gen_embeddings_dist(spark, 1_000_000, ep)
+        emb = spark.read.parquet(ep)
+        probes = emb.filter(F.col("vec_id") < 3)
+        ts = timed(lambda: sim.mmr_topk(emb, probes, k=8, shortlist=20))
+        print(f"  sim10 1m: {ts} -> {min(ts)}s", file=sys.stderr, flush=True)
+        print(json.dumps({"op": "sim10_mmr_topk", "tag": "1m", "wall_s": min(ts)}))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -1808,6 +1858,10 @@ def main() -> None:
         # the doc-postings family one decade past its 500k receipts
         spark.conf.set("spark.sql.shuffle.partitions", "256")
         run_100x_mode(spark, sizes={"1m": 1_000_000})
+        return
+    if wanted == ["r14b"]:
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        run_r14b_mode(spark)
         return
     if wanted == ["r14heaps"]:
         spark.conf.set("spark.sql.shuffle.partitions", "256")

@@ -207,3 +207,102 @@ def test_dup_span_scrub_planted_edges(spark):
     assert exp[4][1] == 3 and exp[5][1] == 8          # untouched docs
     assert exp[6][1] == 10                            # intra-doc repeat survives
     assert exp[0][1] == exp[0][0] - 5                 # exactly the shared 5-gram
+
+
+def test_cdc_chunks_resync_property(spark):
+    """The defining CDC property: prepend one token to a document and every
+    chunk after the first boundary keeps its content address verbatim (a
+    fixed-size chunker would shift and desync them all). Also pins the
+    boundary rule against an independent Python md5 reference."""
+    import hashlib
+    import random
+
+    from trafficanalysisbigdata_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(200)}" for _ in range(120)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(["zzz"] + words))],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in cdc_chunks(docs, modulus=16).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk, r.n_tokens, r.fp))
+    for v in out.values():
+        v.sort()
+
+    # independent reference for doc 0
+    def boundary(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16 == 0
+
+    chunks, cur = [], []
+    for t in words:
+        cur.append(t)
+        if boundary(t):
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    assert len(chunks) >= 3, "fixture must produce several boundaries"
+    expect0 = sorted(
+        (i, len(c), hashlib.md5(" ".join(c).encode()).hexdigest())
+        for i, c in enumerate(chunks)
+    )
+    assert out[0] == expect0
+
+    # resync: every chunk of doc 0 except its first survives in doc 1
+    fps1 = {fp for _, _, fp in out[1]}
+    tail0 = {fp for ch, _, fp in out[0] if ch >= 1}
+    assert tail0 <= fps1
+    # and the edit is contained: doc 1 has at most 2 chunks doc 0 lacks
+    assert len(fps1 - {fp for _, _, fp in out[0]}) <= 2
+
+
+def test_cdc_stats_match_independent_reference(spark):
+    """cdc_chunk_dedup_stats vs a from-scratch Python pipeline on a corpus
+    with planted chunk-level duplication (shared suffixes across docs)."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    from trafficanalysisbigdata_spark.operators.dedup import (
+        cdc_chunk_dedup_stats,
+    )
+
+    rng = random.Random(99)
+    shared = [f"s{rng.randrange(50)}" for _ in range(60)]
+    rows = []
+    for d in range(8):
+        own = [f"d{d}_{i}" for i in range(rng.randrange(5, 30))]
+        rows.append((d, " ".join(own + shared)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def boundary(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16 == 0
+
+    fps = []
+    for _, text in rows:
+        cur = []
+        for t in text.split(" "):
+            cur.append(t)
+            if boundary(t):
+                fps.append((len(cur), hashlib.md5(" ".join(cur).encode()).hexdigest()))
+                cur = []
+        if cur:
+            fps.append((len(cur), hashlib.md5(" ".join(cur).encode()).hexdigest()))
+    cnt = Counter(fp for _, fp in fps)
+    length = dict((fp, ln) for ln, fp in fps)
+    hist = {}
+    for fp, c in cnt.items():
+        ln = length[fp]
+        n_chunks, n_distinct, n_dup = hist.get(ln, (0, 0, 0))
+        hist[ln] = (n_chunks + c, n_distinct + 1, n_dup + c - 1)
+    expect = sorted(
+        (ln, a, b, d, ln * d) for ln, (a, b, d) in hist.items()
+    )
+    got = [
+        (r.chunk_len, r.n_chunks, r.n_distinct, r.n_dup_instances, r.saved_tokens)
+        for r in cdc_chunk_dedup_stats(docs, modulus=16).collect()
+    ]
+    assert got == expect
+    assert any(d > 0 for _, _, _, d, _ in expect), "planted dup must register"

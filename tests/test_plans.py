@@ -607,3 +607,41 @@ def test_tx17b_no_unpartitioned_window(spark, sf_dir):
         spec = ln.split("windowspecdefinition", 1)[1]
         head = spec.split("specifiedwindowframe", 1)[0]
         assert "source" in head, ln
+
+
+def test_sim10_single_shortlist_scan_feeds_pandas_greedy(spark, sf_dir):
+    """sim10's scale claim: the pairwise MMR matrix must come from ONE
+    shortlist computation (a single probes-broadcast nested-loop over the
+    corpus scan, WindowGroupLimit Partial before its exchange) plus ONE
+    broadcast vector fetch — a naive self-join would re-evaluate the
+    candidate subtree and rescan the corpus twice. The only Python stage
+    is the per-probe greedy (FlatMapGroupsInPandas) above the JVM-side
+    collect_list pair grid; no cartesian, no sort-merge join anywhere."""
+    plan = _plan(spark, sf_dir, "sim10_mmr_diversified_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    # shortlist + vector fetch + broadcast probes: exactly three scans
+    assert plan.count("FileScan") == 3, plan
+    limits = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln]
+    assert any("Partial" in ln for ln in limits), plan
+    assert any("Final" in ln for ln in limits), plan
+
+
+def test_dd11_single_doc_exchange_no_joins(spark, sf_dir):
+    """dd11's scale claim: exactly ONE exchange carries token-granularity
+    rows — the doc-keyed partitioning shared by the boundary-cumsum window
+    and the (doc, chunk) rebuild — and the whole pipeline is join-free
+    (a hot boilerplate chunk is a COUNT under partial aggregation, never a
+    join fan-out). A second doc_id exchange means the window and the
+    rebuild stopped sharing partitioning; any join means the fp ledger
+    regressed to something pair-shaped."""
+    plan = _plan(spark, sf_dir, "dd11_cdc_chunk_dedup")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert "Generate posexplode" in plan, plan
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs and all("doc_id" in ln for ln in specs), plan

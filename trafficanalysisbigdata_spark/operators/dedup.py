@@ -569,3 +569,101 @@ def duplicate_span_stats(
             F.round(F.col("n_dup") * 1.0 / F.col("n_shingles"), 6).alias("dup_frac"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    modulus: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level content-defined chunking (the LBFS/FastCDC cut-point
+    idea at token granularity): a token whose content hash satisfies
+    ``h % modulus == 0`` ENDS a chunk, so chunk boundaries depend only on
+    local content — insert or delete a token and every boundary outside
+    its chunk stays put, which is why CDC chunk stores resynchronize
+    across document versions where fixed-size chunking desyncs everything
+    downstream of the edit. Expected chunk length is ``modulus`` tokens
+    with a geometric tail (P(len > L) = (1 - 1/modulus)^L); production
+    stores add min/max cut guards on top — a business rule on the same
+    boundary stream, deliberately not modeled here.
+
+    Returns one row per (doc, chunk): ``(id_col, chunk, n_tokens, fp)``
+    where ``fp`` is md5 of the chunk's space-joined tokens — the chunk
+    store's content address. Hashes are md5 throughout so the DuckDB
+    oracle replays the byte-identical algorithm (this file's rule).
+
+    Shuffle shape: ONE exchange of token rows keyed by document — the
+    boundary cumsum's per-doc window and the (doc, chunk) rebuild share
+    that partitioning, and each group's state is one chunk's tokens
+    (geometric, mean ``modulus``). Nothing corpus-wide shuffles here;
+    consumers aggregate the 16-byte fps (see ``cdc_chunk_dedup_stats``).
+    """
+    tok = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn(
+        "chunk",
+        F.coalesce(F.sum((h % modulus == 0).cast("bigint")).over(w), F.lit(0)),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+        lambda s: s["token"],
+    )
+    return chunked.groupBy(id_col, "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(ordered, " ")).alias("fp"),
+    )
+
+
+def cdc_chunk_dedup_stats(
+    docs: DataFrame,
+    modulus: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide CDC chunk-dedup yield, bucketed by chunk length: for
+    each distinct chunk length, how many chunk instances exist, how many
+    distinct contents they collapse to, how many instances a
+    content-addressed store would NOT re-store (``n_dup_instances``), and
+    the tokens that saves. The length histogram doubles as a receipt of
+    the cut-point statistics (geometric decay away from short lengths).
+
+    Scale posture: the fp aggregation shuffles one 16-byte key per chunk
+    (~1/modulus of the token count) with map-side partial counts — a hot
+    boilerplate chunk is a count, never a join — and the length histogram
+    is a second partial agg over one row per distinct chunk."""
+    fpc = (
+        cdc_chunks(docs, modulus, id_col, text_col)
+        .groupBy("fp")
+        .agg(
+            F.max("n_tokens").alias("chunk_len"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        fpc.groupBy("chunk_len")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("cnt") - 1).cast("bigint").alias("n_dup_instances"),
+        )
+        .select(
+            F.col("chunk_len").cast("bigint").alias("chunk_len"),
+            "n_chunks",
+            "n_distinct",
+            "n_dup_instances",
+            (F.col("chunk_len") * F.col("n_dup_instances"))
+            .cast("bigint")
+            .alias("saved_tokens"),
+        )
+        .orderBy("chunk_len")
+    )

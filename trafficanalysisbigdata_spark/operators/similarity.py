@@ -1214,6 +1214,135 @@ def two_stage_rerank_topk(
     )
 
 
+def mmr_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    shortlist: int = 20,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    1998) — the serving-side diversity re-ranker: from each probe's exact
+    top-``shortlist`` cosine candidates, greedily select ``k`` maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`` so near-duplicate
+    results don't crowd the slate. tx19's RRF fuses rankings ACROSS legs;
+    MMR diversifies WITHIN one — the other half of how retrieval slates
+    are actually assembled.
+
+    Exactness: relevance and pairwise similarities are 6-rounded cosines
+    lifted to exact BIGINT micro-units (``round(cos·1e6)``), λ = 0.7 enters
+    as the integer pair (7, 3), so every greedy score is
+    ``7·rel_i − 3·max_sim_i`` — pure int64 arithmetic with an id tie-break,
+    bit-reproducible across engines, partitionings, and the Python/SQL
+    boundary. Emitted ``rel``/``mmr`` are single IEEE divisions of those
+    integers by 1e6/1e7.
+
+    Plan shape and the 100 TB posture: stage 1 is ``brute_force_topk``
+    (probes broadcast over ONE corpus scan, zero corpus shuffle); candidate
+    vectors come from ONE more scan joined to the BROADCAST shortlist, so
+    full vectors are touched at shortlist selectivity only (sim9's
+    discipline). The pairwise matrix is NOT a self-join — re-evaluating the
+    candidate subtree on both sides of a join would rescan the corpus
+    twice — but a per-query ``collect_list`` (state: shortlist vectors,
+    ~10 KB) whose shortlist² pair grid is generated by nested JVM
+    ``transform`` lambdas, the pair cosine an in-order ``zip_with`` /
+    ``aggregate`` fold identical to ``cosine_prenorm``. Only the greedy
+    selection itself crosses into Python: one Arrow-batched
+    ``applyInPandas`` group per probe whose state is the ≤ shortlist²
+    integer matrix (the one op in this file where a Catalyst expression
+    genuinely can't express the sequential argmax chain), so per-group
+    work is O(k · shortlist²) on ~400 int64s — constant in corpus size,
+    parallel across probes. The self-pair diagonal is kept (sim value
+    unused) so every candidate reaches its group even at shortlist = 1."""
+    pen_tenths = 10 - lam_tenths
+    cand = brute_force_topk(corpus, probes, shortlist, id_col, vec_col).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.round(F.col("cos") * F.lit(1e6)).cast("bigint").alias("rel_i"),
+    )
+    cv = (
+        corpus.select(
+            F.col(id_col).alias("cand_id"),
+            as_double(F.col(vec_col)).alias("dvec"),
+            norm(as_double(F.col(vec_col))).alias("cn2"),
+        )
+        .join(F.broadcast(cand), "cand_id")
+        .groupBy("query_id")
+        .agg(
+            F.collect_list(F.struct("cand_id", "rel_i", "dvec", "cn2")).alias(
+                "cands"
+            )
+        )
+    )
+
+    def _pair(a, b):  # in-order fold — bit-identical to cosine_prenorm
+        d = F.aggregate(
+            F.zip_with(a["dvec"], b["dvec"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            a["cand_id"].alias("a_id"),
+            a["rel_i"].alias("rel_i"),
+            b["cand_id"].alias("b_id"),
+            F.round(F.round(d / (a["cn2"] * b["cn2"]), 6) * F.lit(1e6))
+            .cast("bigint")
+            .alias("sim_i"),
+        )
+
+    pairs = cv.select(
+        "query_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "cands",
+                    lambda a: F.transform("cands", lambda b: _pair(a, b)),
+                )
+            )
+        ).alias("p"),
+    ).select("query_id", "p.a_id", "p.rel_i", "p.b_id", "p.sim_i")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel: dict[int, int] = {}
+        sim: dict[tuple[int, int], int] = {}
+        for a, r, b, s in zip(
+            pdf["a_id"], pdf["rel_i"], pdf["b_id"], pdf["sim_i"]
+        ):
+            rel[int(a)] = int(r)
+            if a != b:
+                sim[(int(a), int(b))] = int(s)
+        ids = sorted(rel)
+        picked: list[int] = []
+        rows = []
+        while len(picked) < min(k, len(ids)):
+            best_id, best_score = None, None
+            for c in ids:  # ascending id = the oracle's tie-break
+                if c in rel and c not in picked:
+                    if picked:
+                        score = lam_tenths * rel[c] - pen_tenths * max(
+                            sim[(c, p)] for p in picked
+                        )
+                    else:
+                        score = lam_tenths * rel[c]
+                    if best_score is None or score > best_score:
+                        best_id, best_score = c, score
+            picked.append(best_id)
+            rows.append(
+                (qid, len(picked), best_id, rel[best_id] / 1e6, best_score / 1e7)
+            )
+        return pd.DataFrame(
+            rows, columns=["query_id", "mmr_rank", "doc_id", "rel", "mmr"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, mmr_rank int, doc_id long, rel double, mmr double",
+    )
+
+
 def hash_sampled_centroids(
     corpus: DataFrame, n_clusters: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -637,3 +637,71 @@ def dd10_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_span_scrub
 
     return dup_span_scrub(spark.table("documents"), n=5).orderBy("doc_id")
+
+
+_CDC_MOD = 16  # expected chunk length in tokens (geometric tail)
+
+
+@register(
+    "dd11_cdc_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), tok AS (
+      SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM toks
+    ), bnd AS (
+      SELECT doc_id, pos, ts[pos] AS token,
+             CASE WHEN ('0x' || substr(md5(ts[pos]), 1, 8))::BIGINT
+                       % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+      FROM tok
+    ), chk AS (
+      SELECT doc_id, pos, token,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS chunk
+      FROM bnd
+    ), chunks AS (
+      SELECT doc_id, chunk, COUNT(*) AS n_tokens,
+             md5(string_agg(token, ' ' ORDER BY pos)) AS fp
+      FROM chk GROUP BY doc_id, chunk
+    ), fpc AS (
+      SELECT fp, MAX(n_tokens) AS chunk_len, COUNT(*) AS cnt
+      FROM chunks GROUP BY fp
+    )
+    SELECT CAST(chunk_len AS BIGINT) AS chunk_len,
+           CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_instances,
+           CAST(chunk_len * SUM(cnt - 1) AS BIGINT) AS saved_tokens
+    FROM fpc GROUP BY chunk_len ORDER BY chunk_len
+    """,
+    tags=("dedup", "cdc", "chunking", "llm-pipeline"),
+    tables=("documents",),
+)
+def dd11_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup yield (LBFS/FastCDC cut points at
+    token granularity, mean chunk = 16 tokens): a token whose md5-derived
+    hash is ≡ 0 (mod 16) ends a chunk, chunks are content-addressed by
+    md5, and the corpus-wide ledger reports — per chunk length — instance
+    count, distinct contents, instances a chunk store would not re-store,
+    and the tokens that saves. This is the STORAGE-side dedup mechanism
+    the shingle family (dd2/dd4/dd7/dd10) doesn't cover: because
+    boundaries depend only on local content, re-ingesting an edited
+    document re-stores only the chunks its edit touched — the resync
+    property pytest pins by prepending a token and asserting every
+    post-boundary chunk fingerprint survives verbatim (fixed-size
+    chunking desyncs them all).
+
+    The length histogram doubles as a receipt of the cut statistics
+    (geometric tail) and keeps the compare multi-row. md5 throughout, so
+    the oracle replays the byte-identical algorithm — boundary rule,
+    cumsum chunk ids, order-preserving rebuild, content addresses.
+
+    Scale posture (operators/dedup.cdc_chunks): one token-row exchange
+    keyed by doc shared by the boundary-cumsum window and the chunk
+    rebuild (per-group state = one chunk, geometric mean 16 tokens), then
+    16-byte fp partial aggs — a hot boilerplate chunk is a COUNT, never a
+    join fan-out; the histogram aggregates one row per distinct chunk."""
+    from ..operators.dedup import cdc_chunk_dedup_stats
+
+    return cdc_chunk_dedup_stats(spark.table("documents"), modulus=_CDC_MOD)

@@ -579,6 +579,92 @@ def sim9_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_N = 20  # shortlist depth feeding the greedy selection
+_MMR_K = 8  # diversified results returned per probe
+_MMR_NPROBE = 3  # probe vectors (vec_id < 3)
+
+
+@register(
+    "sim10_mmr_diversified_topk",
+    oracle=f"""
+    WITH RECURSIVE scored0 AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS id,
+             ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+               AS cos
+      FROM embeddings c
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < {_MMR_NPROBE}) p
+      WHERE c.vec_id <> p.vec_id
+    ), cand AS (
+      SELECT query_id, id, CAST(ROUND(cos * 1e6) AS BIGINT) AS rel_i FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, id) AS rn
+        FROM scored0) t
+      WHERE rn <= {_MMR_N}
+    ), cv AS (
+      SELECT c.query_id, c.id, e.embedding FROM cand c
+      JOIN embeddings e ON e.vec_id = c.id
+    ), sims AS (
+      SELECT a.query_id, a.id AS a, b.id AS b,
+             CAST(ROUND(ROUND(list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])), 6)
+                        * 1e6) AS BIGINT) AS sim_i
+      FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.id <> b.id
+    ), sel AS (
+      SELECT query_id, 1 AS mmr_rank, id AS doc_id, rel_i,
+             7 * rel_i AS mmr_i, [id] AS picked
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel_i DESC, id) AS rn
+            FROM cand) t WHERE rn = 1
+      UNION ALL
+      SELECT sel.query_id, sel.mmr_rank + 1, nxt.id, nxt.rel_i, nxt.mmr_i,
+             list_append(sel.picked, nxt.id)
+      FROM sel, LATERAL (
+        SELECT c.id, c.rel_i,
+               7 * c.rel_i - 3 * (SELECT MAX(s.sim_i) FROM sims s
+                                  WHERE s.query_id = sel.query_id
+                                    AND s.a = c.id
+                                    AND list_contains(sel.picked, s.b))
+                 AS mmr_i
+        FROM cand c
+        WHERE c.query_id = sel.query_id
+          AND NOT list_contains(sel.picked, c.id)
+        ORDER BY mmr_i DESC, c.id LIMIT 1) nxt
+      WHERE sel.mmr_rank < {_MMR_K}
+    )
+    SELECT query_id, mmr_rank, doc_id,
+           CAST(rel_i AS DOUBLE) / 1e6 AS rel,
+           CAST(mmr_i AS DOUBLE) / 1e7 AS mmr
+    FROM sel ORDER BY query_id, mmr_rank
+    """,
+    tags=("similarity", "ann", "diversity", "serving", "applyInPandas"),
+    tables=("embeddings",),
+)
+def sim10_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-8 for 3 probes (λ = 0.7 as the integer pair
+    7/3, shortlist 20): the serving-side diversity re-ranker — tx19's RRF
+    fuses rankings across retrieval legs, MMR de-duplicates WITHIN a slate
+    so four near-copies of the best hit don't fill it. The greedy argmax
+    chain is inherently sequential, so it runs as one Arrow-batched
+    ``applyInPandas`` group per probe over exact BIGINT micro-unit scores
+    (the oracle replays the same integer greedy as a recursive CTE with a
+    LATERAL per-step argmax — both engines agree to the last bit,
+    including id tie-breaks). Everything distributed stays JVM-side:
+    probe-broadcast corpus scan for the shortlist, broadcast-shortlist
+    vector fetch, broadcast pairwise self-join bounded at shortlist² rows
+    per probe (plan-guarded: no cartesian, no sort-merge join; the one
+    Python group's state is ≤ 400 int64s regardless of corpus size)."""
+    from ..operators.similarity import mmr_topk
+
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < _MMR_NPROBE)
+    return mmr_topk(emb, probes, k=_MMR_K, shortlist=_MMR_N).orderBy(
+        "query_id", "mmr_rank"
+    )
+
+
 # --- sim5x/sim6x: the k-means IVF stages, driver-VALUE-checked ---------------
 # The mlx5/mlx6 persist pattern applied to the similarity index: the KMeans
 # FIT itself has no ANSI twin (the reason sim5/sim6 are rows-only), but the
