@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "tx17b_heaps_vocab_decimated",
     "sim10_mmr_diversified_topk",
     "dd11_cdc_chunk_dedup",
+    "pipe17_weighted_sample",
 ]
 
 

@@ -389,3 +389,75 @@ def test_heaps_fit_equals_numpy_ols(spark, texts):
         return  # degenerate (all-identical N): slope undefined, nothing to pin
     beta = (len(x) * (x * y).sum() - x.sum() * y.sum()) / denom
     assert abs(r.heaps_beta - round(beta, 6)) <= 1e-6, (texts, r.heaps_beta, beta)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # id
+            st.integers(min_value=1, max_value=500),  # weight
+            st.sampled_from(["a", "b", "c"]),  # stratum
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_aes_weighted_topk_equals_reference(spark, rows, k):
+    """A-ES weighted exact-k vs a from-scratch Python reference: same md5
+    uniform, same 8-rounded ln, same division and tie-break — key values,
+    per-stratum membership, and ranks must agree exactly for arbitrary
+    id/weight/stratum combinations (pipe17's operator)."""
+    import hashlib
+    import math
+
+    from trafficanalysisbigdata_spark.operators.sampling import (
+        aes_weighted_topk,
+    )
+
+    df = spark.createDataFrame(rows, "id long, w long, s string")
+    got = [
+        (r.s, r.pick_rank, r.id, round(r.k0, 8))
+        for r in aes_weighted_topk(df, k, "w", "s", "id")
+        .orderBy("s", "pick_rank")
+        .collect()
+    ]
+
+    expect = []
+    for stratum in sorted({s for _, _, s in rows}):
+        keyed = []
+        for i, w, s in rows:
+            if s != stratum:
+                continue
+            u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1) / 16**8
+            keyed.append((round(-math.log(u), 8) / w, i))
+        keyed.sort()
+        for rank, (k0, i) in enumerate(keyed[:k], start=1):
+            expect.append((stratum, rank, i, round(k0, 8)))
+    assert got == expect
+
+
+def test_aes_weighting_is_not_uniform(spark):
+    """Non-vacuity: a heavy-weight row must displace the uniform (md5-order)
+    pick — the weighting actually reorders the sample."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators.sampling import (
+        aes_weighted_topk,
+    )
+
+    rows = [(i, 1 if i != 7 else 1_000_000, "x") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, w long, s string")
+    weighted = {
+        r.id for r in aes_weighted_topk(df, 3, "w", "s", "id").collect()
+    }
+    assert 7 in weighted  # key <= 22/1e6 beats any unit-weight draw w.h.p.
+    uniform = {
+        r.id
+        for r in df.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(3)
+        .collect()
+    }
+    assert weighted != uniform

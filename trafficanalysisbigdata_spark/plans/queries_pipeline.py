@@ -1373,3 +1373,77 @@ def pipe16_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+_P17_K = 5  # weighted picks per source
+
+
+@register(
+    "pipe17_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        + 1) / {_HEX_MOD}), 8)
+               / CAST(len(string_split(text, ' ')) AS BIGINT) AS k0
+      FROM documents
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY k0, doc_id) AS pick_rank
+      FROM d
+    )
+    SELECT source, CAST(pick_rank AS BIGINT) AS pick_rank, doc_id, n_tokens,
+           ROUND(k0, 8) AS sample_key
+    FROM r WHERE pick_rank <= {_P17_K} ORDER BY source, pick_rank
+    """,
+    tags=("pipeline", "sampling", "weighted", "llm-pipeline"),
+    tables=("documents",),
+)
+def pipe17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact-k per source
+    (Efraimidis & Spirakis 2006, algorithm A-ES): each doc draws the
+    deterministic uniform u = (md5-fraction + 1ulp-of-domain) ∈ (0, 1]
+    and the exponential key −ln(u)/w with w = token count; the k smallest
+    keys per source are a weighted-without-replacement sample with
+    inclusion probability ∝ w — token-budget-proportional corpus
+    subsampling, the third member of the sampling family (pipe4 = uniform
+    rate, pipe15 = uniform exact-k, pipe17 = WEIGHTED exact-k). One
+    distributed pass, no sequential draws — A-ES is why weighted
+    reservoir sampling parallelizes at all.
+
+    Cross-engine float discipline: u is an exact dyadic rational, ln is
+    rounded to 8 decimals before the division (tx12's log rule), and the
+    single IEEE division by an integer weight is bit-identical — so the
+    ranking keys, the per-source order, and the emitted rounded keys all
+    hash-match; ties (impossible except by md5 collision) break on
+    doc_id.
+
+    Scale posture: rank() <= k over the key order compiles to
+    WindowGroupLimit Partial+Final exactly like pipe15 — map tasks keep
+    only their own k smallest keys per source before the exchange, so
+    per-task state is k × (sources seen) rows and the final sort never
+    touches the corpus (plan-guarded)."""
+    from ..functions.text import token_count
+    from ..operators.sampling import aes_weighted_topk
+
+    docs = spark.table("documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        aes_weighted_topk(
+            keyed, _P17_K, weight_col="n_tokens", strata_col="source",
+            id_col="doc_id",
+        )
+        .select(
+            "source",
+            "pick_rank",
+            "doc_id",
+            "n_tokens",
+            F.round("k0", 8).alias("sample_key"),
+        )
+        .orderBy("source", "pick_rank")
+    )
