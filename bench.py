@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "sim10_mmr_diversified_topk",
     "dd11_cdc_chunk_dedup",
     "pipe17_weighted_sample",
+    "pipe17b_quality_weighted_sample",
 ]
 
 

@@ -1782,6 +1782,54 @@ def run_r14b_mode(spark) -> None:
         print(json.dumps({"op": "sim10_mmr_topk", "tag": "1m", "wall_s": min(ts)}))
 
 
+
+def run_r14c_mode(spark) -> None:
+    """pipe16's 500k-train receipt (r13 verdict item #2's last clause):
+    the semantic-decontamination gate shape — a benchmark-sized eval set
+    (256 probes, the pipe14 eval-cap analog) against a large TRAIN corpus
+    via the int8-shortlist -> exact-rerank serving path plus the ledger
+    aggregate — at 500k and 1M train vectors, so the claimed posture (ONE
+    int8 train scan with probes broadcast, zero train shuffle, rerank at
+    shortlist selectivity) has a measured 2x step. Warm + min-of-2 at
+    500k; single pass at 1M (decade-curve protocol)."""
+    from pyspark.sql import functions as F
+
+    from trafficanalysisbigdata_spark.operators import similarity as sim
+
+    ep = f"{BASE}/emb_dist_1m"
+    if not os.path.exists(f"{ep}/_SUCCESS"):
+        gen_embeddings_dist(spark, 1_000_000, ep)
+    emb = spark.read.parquet(ep)
+    evalp = emb.filter(F.col("vec_id") < 256)
+
+    def gate(n_train):
+        train = emb.filter(
+            (F.col("vec_id") >= 256) & (F.col("vec_id") < 256 + n_train)
+        )
+        return (
+            sim.two_stage_rerank_topk(train, evalp, k=1, shortlist_factor=8)
+            .agg(
+                F.count(F.lit(1)).alias("n_eval_scored"),
+                F.sum((F.col("cos") >= 0.4).cast("bigint")).alias("n_leaked"),
+                F.round(
+                    F.sum(F.col("cos").cast("decimal(18,6)")).cast("double"), 6
+                ).alias("sum_max_cos"),
+            )
+        )
+
+    for tag, n_train, passes in (("500k", 500_000, 2), ("1m", 999_000, 1)):
+        fn = lambda: gate(n_train)  # noqa: B023
+        if passes > 1:
+            fn().write.format("noop").mode("overwrite").save()  # warm
+        ts = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 2))
+        print(f"  pipe16gate {tag}: {ts} -> {min(ts)}s", file=sys.stderr, flush=True)
+        print(json.dumps({"op": "pipe16_gate_256eval", "tag": tag, "wall_s": min(ts)}))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -1858,6 +1906,10 @@ def main() -> None:
         # the doc-postings family one decade past its 500k receipts
         spark.conf.set("spark.sql.shuffle.partitions", "256")
         run_100x_mode(spark, sizes={"1m": 1_000_000})
+        return
+    if wanted == ["r14c"]:
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        run_r14c_mode(spark)
         return
     if wanted == ["r14b"]:
         spark.conf.set("spark.sql.shuffle.partitions", "256")

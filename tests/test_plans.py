@@ -647,13 +647,17 @@ def test_dd11_single_doc_exchange_no_joins(spark, sf_dir):
     assert specs and all("doc_id" in ln for ln in specs), plan
 
 
-def test_pipe17_weighted_rank_compiles_to_group_limit(spark, sf_dir):
-    """pipe17's scale claim (pipe15's shape over the A-ES key order):
-    rank() <= k must compile to WindowGroupLimit Partial+Final so map
-    tasks keep only their own k smallest exponential keys per source
-    before the exchange — and the whole sampler stays join-free (the key
-    is a row-local expression, never a lookup)."""
-    plan = _plan(spark, sf_dir, "pipe17_weighted_sample")
+@pytest.mark.parametrize(
+    "name", ["pipe17_weighted_sample", "pipe17b_quality_weighted_sample"]
+)
+def test_pipe17_weighted_rank_compiles_to_group_limit(spark, sf_dir, name):
+    """pipe17/pipe17b's scale claim (pipe15's shape over the A-ES key
+    order): rank() <= k must compile to WindowGroupLimit Partial+Final so
+    map tasks keep only their own k smallest exponential keys per source
+    before the exchange — and the whole sampler stays join-free (the key,
+    including pipe17b's quality weight, is a row-local expression, never
+    a lookup)."""
+    plan = _plan(spark, sf_dir, name)
     assert "Join" not in plan, plan
     limits = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln]
     assert any("Partial" in ln for ln in limits), plan

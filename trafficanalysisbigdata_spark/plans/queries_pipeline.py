@@ -1447,3 +1447,78 @@ def pipe17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pick_rank")
     )
+
+
+@register(
+    "pipe17b_quality_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(ROUND(1e6 * CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the', 'a', 'of', 'and', 'row',
+                                             'table', 'value'))) AS DOUBLE)
+                              / len(string_split(text, ' '))) AS BIGINT) + 1
+               AS q_weight
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, q_weight,
+             ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        + 1) / {_HEX_MOD}), 8) / q_weight AS k0
+      FROM d
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY k0, doc_id) AS pick_rank
+      FROM keyed
+    )
+    SELECT source, CAST(pick_rank AS BIGINT) AS pick_rank, doc_id, q_weight,
+           ROUND(k0, 8) AS sample_key
+    FROM r WHERE pick_rank <= {_P17_K} ORDER BY source, pick_rank
+    """,
+    tags=("pipeline", "sampling", "weighted", "quality", "llm-pipeline"),
+    tables=("documents",),
+)
+def pipe17b_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe17's A-ES sampler with the PRODUCTION weight: a quality score
+    instead of raw length — here tx2's stopword-ratio prose-ness signal
+    lifted to an exact integer weight (round(1e6 · n_stop/n_tokens) + 1,
+    the +1 keeping zero-stopword docs sampleable at minimal weight and the
+    divisor integral, which is what keeps the A-ES keys bit-identical
+    cross-engine). Inclusion probability ∝ quality: the corpus-subsampling
+    policy that spends a fixed doc budget on prose and away from listy
+    junk, without ever hard-filtering it (low-quality docs still appear at
+    low rate — the soft-mixing posture pipe2/pipe7 use for sources,
+    applied at document granularity).
+
+    Same operator (`operators/sampling.aes_weighted_topk`), same
+    WindowGroupLimit Partial+Final join-free plan as pipe17 (guarded
+    together); the ratio itself is one int/int IEEE division, so the
+    weight — and therefore the whole sample — replays exactly in the
+    oracle."""
+    from ..functions.text import EN_STOP, stopword_ratio
+    from ..operators.sampling import aes_weighted_topk
+
+    docs = spark.table("documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        (
+            F.round(stopword_ratio(F.col("text"), EN_STOP) * F.lit(1e6)).cast(
+                "bigint"
+            )
+            + F.lit(1)
+        ).alias("q_weight"),
+    )
+    return (
+        aes_weighted_topk(
+            keyed, _P17_K, weight_col="q_weight", strata_col="source",
+            id_col="doc_id",
+        )
+        .select(
+            "source",
+            "pick_rank",
+            "doc_id",
+            "q_weight",
+            F.round("k0", 8).alias("sample_key"),
+        )
+        .orderBy("source", "pick_rank")
+    )
