@@ -1922,11 +1922,20 @@ def main() -> None:
     if wanted == ["sim4m"]:
         # one full decade past the 1M receipt (r13 verdict item #7): keeps
         # the dial-validation one decade ahead of the corpus fixtures; at
-        # 4M the occupancy rule derives P=14 — the cap itself — so this is
-        # the first corpus exercising the cap boundary
+        # 4M the occupancy rule derives P=14 — the round-11 cap, measured
+        # AT its edge here, which is what triggered the round-14 raise to 16
         spark.conf.set("spark.sql.shuffle.partitions", "256")
         os.environ.setdefault("LSH_OPS", "sim3")
         run_100x_lsh_mode(spark, sizes={"4m": 4_000_000})
+        return
+    if wanted == ["sim8m"]:
+        # the round-14 cap-raise receipt (14 -> 16): 8M is the first corpus
+        # deriving P=15 — past the old cap — so this point validates the
+        # raise one step ahead of the frontier, exactly like r11's 2M point
+        # validated the 12 -> 14 raise
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        os.environ.setdefault("LSH_OPS", "sim3")
+        run_100x_lsh_mode(spark, sizes={"8m": 8_000_000})
         return
     if wanted == ["sim2m"]:
         # half-decade past the 1M receipt: first corpus where the occupancy

@@ -235,12 +235,12 @@ def test_hash_ivf_index_pruning_and_recall(spark, tmp_path):
 def test_adaptive_n_planes_rule():
     """The sim4 banding dial is code, not prose: P=4 (the oracle-mirrored
     floor) for every driver-SF corpus, then grows log2 with the corpus to
-    hold expected bucket size constant. The cap sits at 14 (raised from 12
-    in round 11 so the measured 1M frontier — which derives P=12, right at
-    the old cap's edge — has headroom through the next decade; raised from
-    8 in round 9 after the 500k rehearsal measured twin recall collapsing
-    to 0.748 when occupancy ~1950 blew past the 1024 max_bucket work cap
-    and dense buckets were dropped wholesale). The cap must track
+    hold expected bucket size constant. The cap sits at 16 (raised from 14
+    in round 14 when the measured 4M frontier landed exactly AT the old
+    cap — the same one-decade-ahead rule as the round-11 12→14 raise;
+    raised from 8 in round 9 after the 500k rehearsal measured twin recall
+    collapsing to 0.748 when occupancy ~1950 blew past the 1024 max_bucket
+    work cap and dense buckets were dropped wholesale). The cap must track
     log2(n/target) through the target corpus size."""
     from trafficanalysisbigdata_spark.operators.similarity import adaptive_n_planes
 
@@ -252,7 +252,9 @@ def test_adaptive_n_planes_rule():
     assert adaptive_n_planes(50_000) == 8   # 10x rehearsal
     assert adaptive_n_planes(500_000) == 11  # 100x rehearsal: occupancy ~244 < 1024
     assert adaptive_n_planes(1_000_000) == 12   # 1M rehearsal point
-    assert adaptive_n_planes(10_000_000) == 14  # cap (carries rule to ~4M)
+    assert adaptive_n_planes(4_000_000) == 14   # 4M receipt (old cap's edge)
+    assert adaptive_n_planes(8_000_000) == 15   # 8M receipt point
+    assert adaptive_n_planes(100_000_000) == 16  # cap (carries rule to ~16M)
 
 
 def test_adaptive_n_tables_rule():
@@ -565,7 +567,11 @@ def test_adaptive_n_tables_topk_steps():
     assert adaptive_n_tables_topk(50_000) == 16
     assert adaptive_n_tables_topk(100_000) == 16
     assert adaptive_n_tables_topk(500_000) == 24
-    assert adaptive_n_tables_topk(5_000_000) == 32
+    assert adaptive_n_tables_topk(4_000_000) == 32
+    # the round-14 48 step: P=15 corpora (past the old P cap) measured
+    # 0.88 recall at L=32 — the L dial is the only recall lever once
+    # occupancy is pinned, so the step boundary tracks the P=15 frontier
+    assert adaptive_n_tables_topk(8_000_000) == 48
 
 
 def test_sim4_scoring_joins_broadcast_when_size_known(spark):
@@ -1018,3 +1024,32 @@ def test_mmr_topk_matches_independent_greedy(spark):
     for q, rk, d, _, _ in expect:
         mmr_order.setdefault(q, []).append(d)
     assert any(mmr_order[q] != rel_order[q] for q in range(nprobe))
+
+
+def test_neardup_p_cap_keeps_bar_equation_solvable():
+    """The round-14 decoupling: the BAR path derives P with
+    NEARDUP_P_CAP=14 so adaptive_n_tables' collision equation stays
+    solvable UNDER its 64-table amplification cap at the 0.8 reference
+    bar — at the top-k cap's P=15 the solution is 71 > 64 and bar-recall
+    would silently dip (~0.88), the exact shape the 8M top-k rehearsal
+    measured before the L=48 step. Pins both the constant and the
+    unsolvability it guards against."""
+    import math
+
+    from trafficanalysisbigdata_spark.operators.similarity import (
+        NEARDUP_P_CAP,
+        adaptive_n_planes,
+        adaptive_n_tables,
+    )
+
+    assert NEARDUP_P_CAP == 14
+    p_bar = adaptive_n_planes(8_000_000, cap=NEARDUP_P_CAP)
+    assert p_bar == 14
+    # solvable: the derived L is the UNclamped solution
+    p = 1.0 - math.acos(0.8) / math.pi
+    need14 = math.ceil(math.log(0.1) / math.log(1.0 - p**14))
+    assert adaptive_n_tables(14, 0.8) == need14 <= 64
+    # and the top-k cap's P=15 would overflow the amplification budget
+    need15 = math.ceil(math.log(0.1) / math.log(1.0 - p**15))
+    assert need15 > 64
+    assert adaptive_n_tables(15, 0.8) == 64  # clamped — the dip the cap avoids

@@ -259,20 +259,35 @@ def table_bucket_capped(buckets: DataFrame, max_bucket: int) -> DataFrame:
     return capped_groups(buckets, ["t", "bucket"], max_bucket)
 
 
+# The BAR (near-dup) path's P ceiling, decoupled from adaptive_n_planes'
+# top-k cap in round 14: at P=15 the 0.8-bar solution of adaptive_n_tables'
+# collision equation needs L=71 tables — past its 64 amplification cap —
+# so bar-recall would dip to ~0.88 with no L left to compensate (the exact
+# failure the 8M top-k rehearsal measured at L=32 before the 48 step).
+# P <= 14 keeps (P, L) solvable at the 0.8 reference bar (L=56) and
+# matches every neardup receipt's dial; the top-k path has no bar equation
+# and carries P to 16 because adaptive_n_tables_topk's 48 step is its
+# compensation.
+NEARDUP_P_CAP = 14
+
+
 def adaptive_n_planes(
-    n: int, floor: int = 4, cap: int = 14, target_bucket: int = 128
+    n: int, floor: int = 4, cap: int = 16, target_bucket: int = 128
 ) -> int:
     """The n_planes dial as CODE (dd5's k∝√n discipline applied to LSH
     banding): per-table candidate-pair volume is ~n²/2^P at uniform
     occupancy, so holding expected bucket size at ``target_bucket`` means
     2^P ∝ n, i.e. P = log2(n / target_bucket). Clamped to [floor, cap]:
     the floor keeps toy corpora at the oracle-mirrored P=4 (any corpus
-    < 4096 vectors derives 4, which covers every driver SF); the cap at 14
-    carries the rule to ~4M vectors before bucket growth resumes (raised
-    from 12 in round 11: the 1M rehearsal point derives P=12 — truncation
-    keeps it just under the old cap — so the NEXT decade would have
-    crossed it silently; the raise keeps the occupancy invariant ahead of
-    the measured frontier instead of trailing it).
+    < 4096 vectors derives 4, which covers every driver SF); the cap at 16
+    carries the rule to ~16M vectors before bucket growth resumes (raised
+    from 14 in round 14: the 4M rehearsal point derives P=14 — exactly AT
+    the old cap — so the next decade would have crossed it silently; the
+    8M receipt exercises P=15, recall at the shipped dial in
+    BENCH_LOCAL.md. Raised from 12 in round 11 on the same one-decade-
+    ahead rule when the 1M point reached the then-cap's edge; the raise
+    keeps the occupancy invariant ahead of the measured frontier instead
+    of trailing it).
 
     The cap MUST stay above log2(n/target) through the target corpus size:
     the round-9 500k rehearsal measured what happens when it doesn't.
@@ -308,12 +323,26 @@ def adaptive_n_tables_topk(n: int) -> int:
     spreads them), L=32 → 0.988 at 1.4× wall. Steps are decade-based
     because occupancy is linear in n past the P cap; recall is a
     query-time knob — no index rebuild, no count() when the caller passes
-    ``n_rows``."""
+    ``n_rows``.
+
+    The 48 step (round 14): the P-cap raise to 16 lets 8M-vector corpora
+    band at P=15, where each extra plane multiplies the per-table hit
+    rate for a fixed-angle neighbor by p < 1 — the 8M rehearsal measured
+    recall@5 0.88 at L=32, the first sub-bar point in the dial's history
+    (BENCH_LOCAL.md). Per-probe candidate volume is L × occupancy and
+    occupancy is pinned at ~target_bucket while P tracks the corpus, so
+    L is the only recall lever past each P step: 48 tables restore the
+    miss-rate exponent — measured 0.972 at 8M (BENCH_LOCAL.md round 14),
+    wall 61.4 s vs 108.8 at L=32 (more tables spread the same pinned
+    occupancy across smaller buckets, so candidate fetch stays flat while
+    task granularity improves)."""
     if n <= 100_000:
         return 16
     if n <= 1_000_000:
         return 24
-    return 32
+    if n <= 4_000_000:
+        return 32
+    return 48
 
 
 def adaptive_n_tables(
@@ -444,7 +473,7 @@ def lsh_neardup_pairs(
     )
     n_known = n_rows if n_rows is not None else (corpus.count() if need_n else None)
     if n_planes is None:
-        n_planes = adaptive_n_planes(n_known)
+        n_planes = adaptive_n_planes(n_known, cap=NEARDUP_P_CAP)
     if n_tables is None:
         n_tables = adaptive_n_tables(n_planes, threshold)
     if stage is None:
@@ -624,7 +653,7 @@ def lsh_neardup_pairs_staged(
         raise ValueError(f"group_size must be >= 1, got {group_size}")
     n_known = n_rows if n_rows is not None else corpus.count()
     if n_planes is None:
-        n_planes = adaptive_n_planes(n_known)
+        n_planes = adaptive_n_planes(n_known, cap=NEARDUP_P_CAP)
     if n_tables is None:
         n_tables = adaptive_n_tables(n_planes, threshold)
     if n_tables < 1:
