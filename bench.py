@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "dd11_cdc_chunk_dedup",
     "pipe17_weighted_sample",
     "pipe17b_quality_weighted_sample",
+    "dd11b_cdc_guarded_chunks",
 ]
 
 

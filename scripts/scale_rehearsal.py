@@ -1771,6 +1771,18 @@ def run_r14b_mode(spark) -> None:
             ts = timed(lambda: dd.cdc_chunk_dedup_stats(docs))
             print(f"  dd11 {tag}: {ts} -> {min(ts)}s", file=sys.stderr, flush=True)
             print(json.dumps({"op": "dd11_cdc_chunk_dedup", "tag": tag, "wall_s": min(ts)}))
+    if "dd11b" in ops:
+        from trafficanalysisbigdata_spark.operators.dedup import (
+            cdc_chunks_guarded, chunk_dedup_ledger,
+        )
+
+        for tag, dp in (("500k", f"{BASE}/docs_dist_100x"),
+                        ("1m", f"{BASE}/docs_dist_1m")):
+            docs = spark.read.parquet(dp)
+            ts = timed(lambda: chunk_dedup_ledger(
+                cdc_chunks_guarded(docs, 16, 8, 32)))
+            print(f"  dd11b {tag}: {ts} -> {min(ts)}s", file=sys.stderr, flush=True)
+            print(json.dumps({"op": "dd11b_cdc_guarded", "tag": tag, "wall_s": min(ts)}))
     if "sim10" in ops:
         ep = f"{BASE}/emb_dist_1m"
         if not os.path.exists(f"{ep}/_SUCCESS"):

@@ -306,3 +306,68 @@ def test_cdc_stats_match_independent_reference(spark):
     ]
     assert got == expect
     assert any(d > 0 for _, _, _, d, _ in expect), "planted dup must register"
+
+
+def test_cdc_guarded_matches_reference_and_respects_guards(spark):
+    """cdc_chunks_guarded vs a from-scratch Python implementation of the
+    min/max rule on a corpus engineered to hit every branch: honored
+    in-window boundaries, boundaries SKIPPED for falling before min_len,
+    forced cuts at max_len (long boundary-free stretches), and short
+    final tails. Also pins the guard invariants directly."""
+    import hashlib
+    import random
+
+    from trafficanalysisbigdata_spark.operators.dedup import cdc_chunks_guarded
+
+    MOD, MN, MX = 16, 8, 32
+
+    def boundary(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % MOD == 0
+
+    rng = random.Random(31)
+    # find a token that IS a boundary to plant early-boundary cases
+    b_tok = next(f"w{i}" for i in range(10_000) if boundary(f"w{i}"))
+    nb = [f"n{i}" for i in range(10_000) if not boundary(f"n{i}")][:80]
+    rows = [
+        (0, " ".join([b_tok] * 3 + nb[:50])),  # skipped boundaries + forced cuts
+        (1, " ".join(nb[:70])),  # boundary-free: all forced cuts + tail
+        (2, " ".join(rng.choices(nb[:30] + [b_tok], k=90))),  # mixed
+        (3, " ".join(nb[:5])),  # shorter than min_len: one tail chunk
+        (4, b_tok),  # single-token doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(
+        (r.doc_id, r.chunk, r.n_tokens, r.fp)
+        for r in cdc_chunks_guarded(docs, MOD, MN, MX).collect()
+    )
+
+    expect = []
+    for d, text in rows:
+        toks = text.split(" ")
+        n, c, k = len(toks), 0, 0
+        while c < n:
+            nxt = None
+            for p in range(c + MN, min(c + MX, n) + 1):
+                if boundary(toks[p - 1]):
+                    nxt = p
+                    break
+            if nxt is None:
+                nxt = min(c + MX, n)
+            expect.append(
+                (d, k, nxt - c,
+                 hashlib.md5(" ".join(toks[c:nxt]).encode()).hexdigest())
+            )
+            k += 1
+            c = nxt
+    assert got == sorted(expect)
+
+    # guard invariants: no chunk exceeds max; every non-tail chunk >= min
+    last = {d: max(k for dd, k, _, _ in expect if dd == d) for d, _ in rows}
+    for d, k, ln, _ in expect:
+        assert ln <= MX
+        if k < last[d]:
+            assert ln >= MN
+    # the fixture exercised a forced cut and a short tail
+    assert any(ln == MX for _, _, ln, _ in expect)
+    assert any(ln < MN for d, k, ln, _ in expect if k == last[d])

@@ -662,3 +662,28 @@ def test_pipe17_weighted_rank_compiles_to_group_limit(spark, sf_dir, name):
     limits = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln]
     assert any("Partial" in ln for ln in limits), plan
     assert any("Final" in ln for ln in limits), plan
+
+
+def test_dd11b_pandas_guard_single_doc_exchange_no_joins(spark, sf_dir):
+    """dd11b's scale claim: the sequential min/max guard is the ONLY
+    Python stage — one batch-amortized MapInPandas over doc-sorted
+    partitions (NOT a per-doc FlatMapGroupsInPandas: with corpus-many
+    groups the per-group Arrow overhead was the measured 9x cost,
+    BENCH_LOCAL round 14) — fed by exactly one doc-keyed exchange of
+    token rows with the boundary hash computed JVM-side below it;
+    everything above is dd11's join-free 16-byte-fp ledger."""
+    plan = _plan(spark, sf_dir, "dd11b_cdc_guarded_chunks")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert "Generate posexplode" in plan, plan
+    # the md5-derived boundary flag is computed before the Python stage:
+    # the conv(substring(md5(token))) % 16 expression must sit in a JVM
+    # Project feeding the pandas group, not be re-derived in Python
+    flag_lines = [
+        ln for ln in plan.splitlines()
+        if "Project" in ln and "conv(substring(md5(" in ln and "% 16" in ln
+    ]
+    assert flag_lines, plan

@@ -17,6 +17,8 @@ engine — the DuckDB oracles run the identical algorithm.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -624,30 +626,17 @@ def cdc_chunks(
     )
 
 
-def cdc_chunk_dedup_stats(
-    docs: DataFrame,
-    modulus: int = 16,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Corpus-wide CDC chunk-dedup yield, bucketed by chunk length: for
-    each distinct chunk length, how many chunk instances exist, how many
-    distinct contents they collapse to, how many instances a
-    content-addressed store would NOT re-store (``n_dup_instances``), and
-    the tokens that saves. The length histogram doubles as a receipt of
-    the cut-point statistics (geometric decay away from short lengths).
-
-    Scale posture: the fp aggregation shuffles one 16-byte key per chunk
-    (~1/modulus of the token count) with map-side partial counts — a hot
-    boilerplate chunk is a count, never a join — and the length histogram
-    is a second partial agg over one row per distinct chunk."""
-    fpc = (
-        cdc_chunks(docs, modulus, id_col, text_col)
-        .groupBy("fp")
-        .agg(
-            F.max("n_tokens").alias("chunk_len"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+def chunk_dedup_ledger(chunks: DataFrame) -> DataFrame:
+    """The content-addressed store's yield ledger over any (doc, chunk,
+    n_tokens, fp) frame — shared by the pure-content (``cdc_chunks``) and
+    min/max-guarded (``cdc_chunks_guarded``) cut rules: per chunk length,
+    instances, distinct contents, instances a store would NOT re-store,
+    and the tokens that saves. Scale posture: one 16-byte-key partial agg
+    per chunk, then a histogram agg over one row per distinct chunk — a
+    hot boilerplate chunk is a COUNT, never a join."""
+    fpc = chunks.groupBy("fp").agg(
+        F.max("n_tokens").alias("chunk_len"),
+        F.count(F.lit(1)).alias("cnt"),
     )
     return (
         fpc.groupBy("chunk_len")
@@ -666,4 +655,115 @@ def cdc_chunk_dedup_stats(
             .alias("saved_tokens"),
         )
         .orderBy("chunk_len")
+    )
+
+
+def cdc_chunk_dedup_stats(
+    docs: DataFrame,
+    modulus: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide CDC chunk-dedup yield, bucketed by chunk length (see
+    ``chunk_dedup_ledger``). The length histogram doubles as a receipt of
+    the cut-point statistics (geometric decay away from short lengths)."""
+    return chunk_dedup_ledger(cdc_chunks(docs, modulus, id_col, text_col))
+
+
+def cdc_chunks_guarded(
+    docs: DataFrame,
+    modulus: int = 16,
+    min_len: int = 8,
+    max_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``cdc_chunks`` with the min/max cut guards every production chunk
+    store adds (FastCDC's actual shape): a content boundary is honored
+    only if the chunk it would close has >= ``min_len`` tokens, and a cut
+    is FORCED at ``max_len`` when no acceptable boundary arrives — so
+    chunk sizes live in [min_len, max_len] (the final tail may be
+    shorter), killing both the geometric tail's tiny chunks (metadata
+    overhead) and its unbounded heads (transfer granularity).
+
+    The guard is a sequential reset rule — each accepted cut re-bases the
+    window the next boundary must fall in — which no window cumsum can
+    express (the dd11 docstring's documented boundary). The hash never
+    moves to Python: boundary flags are a JVM Project; Python only scans
+    per-doc flag lists and md5s chunk strings — the same content address
+    ``cdc_chunks`` emits, so a store can mix guarded and unguarded
+    writers. The oracle replays the identical rule as a recursive CTE
+    advancing EVERY document one cut per iteration (a LATERAL picking
+    min(first in-window boundary, forced max, doc end) — the sim10
+    pattern applied to cut placement).
+
+    The Python stage is ``mapInPandas`` over doc-sorted partitions, NOT
+    one ``applyInPandas`` group per document: with corpus-many groups the
+    per-group Arrow/pandas overhead IS the cost — measured at 500k/1M
+    docs, the per-doc-group form ran 101.2/165.0 s where this
+    batch-amortized form (hundreds of docs per ~10k-row Arrow batch, a
+    carry buffer stitching the doc that straddles a batch boundary) runs
+    11.4/21.0 s — ~9× — on identical output (BENCH_LOCAL.md round 14),
+    ~2.5× over dd11's pure-JVM unguarded path, which is the honest price
+    of the sequential scan itself. State is still one partition's batch
+    plus at most one document of carry.
+
+    Same output schema as ``cdc_chunks``; feed ``chunk_dedup_ledger``."""
+    import hashlib
+    from collections.abc import Iterator
+
+    tok = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    flagged = (
+        tok.withColumn("b", (h % modulus == 0).cast("int"))
+        .repartition(F.col(id_col))
+        .sortWithinPartitions(id_col, "pos")
+    )
+
+    def scan_doc(doc: int, toks: list, flags: list, out: list) -> None:
+        n = len(toks)
+        c, k = 0, 0
+        while c < n:
+            nxt = None
+            for p in range(c + min_len, min(c + max_len, n) + 1):
+                if flags[p - 1]:
+                    nxt = p
+                    break
+            if nxt is None:
+                nxt = min(c + max_len, n)
+            fp = hashlib.md5(" ".join(toks[c:nxt]).encode()).hexdigest()
+            out.append((doc, k, nxt - c, fp))
+            k += 1
+            c = nxt
+
+    cols = [id_col, "chunk", "n_tokens", "fp"]
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # the last doc may continue in the next Arrow batch: hold it
+            last = pdf[id_col].iloc[-1]
+            mask = pdf[id_col] == last
+            carry = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                out: list = []
+                for doc, g in done.groupby(id_col, sort=False):
+                    scan_doc(int(doc), list(g["token"]), list(g["b"]), out)
+                yield pd.DataFrame(out, columns=cols)
+        if carry is not None and len(carry):
+            out = []
+            for doc, g in carry.groupby(id_col, sort=False):
+                scan_doc(int(doc), list(g["token"]), list(g["b"]), out)
+            yield pd.DataFrame(out, columns=cols)
+
+    return flagged.mapInPandas(
+        scan_batches, f"{id_col} long, chunk long, n_tokens long, fp string"
     )

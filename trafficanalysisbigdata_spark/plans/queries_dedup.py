@@ -705,3 +705,93 @@ def dd11_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import cdc_chunk_dedup_stats
 
     return cdc_chunk_dedup_stats(spark.table("documents"), modulus=_CDC_MOD)
+
+
+_CDC_MIN = 8  # guarded cut rule: boundary honored only past this length
+_CDC_MAX = 32  # ... and a cut is forced here if no boundary arrived
+
+
+@register(
+    "dd11b_cdc_guarded_chunks",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), tok AS (
+      SELECT doc_id, UNNEST(range(1, len(ts) + 1)) AS pos, ts FROM toks
+    ), bnd AS (
+      SELECT doc_id, pos FROM tok
+      WHERE ('0x' || substr(md5(ts[pos]), 1, 8))::BIGINT % {_CDC_MOD} = 0
+    ), lens AS (
+      SELECT doc_id, len(ts) AS n FROM toks
+    ), cuts AS (
+      SELECT doc_id, 0 AS k, 0 AS cut, n FROM lens
+      UNION ALL
+      SELECT c.doc_id, c.k + 1, nxt.cut, c.n
+      FROM cuts c, LATERAL (
+        SELECT LEAST(COALESCE((SELECT MIN(b.pos) FROM bnd b
+                               WHERE b.doc_id = c.doc_id
+                                 AND b.pos >= c.cut + {_CDC_MIN}
+                                 AND b.pos <= c.cut + {_CDC_MAX}),
+                              c.cut + {_CDC_MAX}), c.cut + {_CDC_MAX}, c.n)
+          AS cut
+      ) nxt
+      WHERE c.cut < c.n
+    ), chunks AS (
+      SELECT c1.doc_id, c1.k - 1 AS chunk, c1.cut - c0.cut AS n_tokens,
+             md5(string_agg(t.ts[t.pos], ' ' ORDER BY t.pos)) AS fp
+      FROM cuts c1
+      JOIN cuts c0 ON c0.doc_id = c1.doc_id AND c0.k = c1.k - 1
+      JOIN tok t ON t.doc_id = c1.doc_id
+                AND t.pos > c0.cut AND t.pos <= c1.cut
+      WHERE c1.k >= 1
+      GROUP BY c1.doc_id, c1.k, c1.cut, c0.cut
+    ), fpc AS (
+      SELECT fp, MAX(n_tokens) AS chunk_len, COUNT(*) AS cnt
+      FROM chunks GROUP BY fp
+    )
+    SELECT CAST(chunk_len AS BIGINT) AS chunk_len,
+           CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_instances,
+           CAST(chunk_len * SUM(cnt - 1) AS BIGINT) AS saved_tokens
+    FROM fpc GROUP BY chunk_len ORDER BY chunk_len
+    """,
+    tags=("dedup", "cdc", "chunking", "applyInPandas", "llm-pipeline"),
+    tables=("documents",),
+)
+def dd11b_cdc_guarded_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd11's content-defined chunking with the min/max cut guards every
+    production chunk store adds (FastCDC's actual shape, min 8 / max 32
+    tokens): a content boundary is honored only if it closes a chunk of
+    >= 8 tokens, and a cut is FORCED at 32 when no acceptable boundary
+    arrives — chunk sizes live in [8, 32] (short final tails excepted),
+    killing the geometric tail's metadata-heavy tiny chunks and its
+    unbounded heads. Same md5 content addresses as dd11, so guarded and
+    unguarded writers can share a store.
+
+    The guard is a sequential reset rule — each accepted cut re-bases the
+    next boundary's window — which dd11's docstring documents as
+    inexpressible by window cumsums. It runs as one Arrow-batched
+    ``applyInPandas`` group per document over JVM-computed boundary flags
+    (the hash never moves to Python; the Python step is O(n) integer
+    scanning of one doc). The oracle replays the identical rule as a
+    recursive CTE advancing EVERY document one cut per iteration via a
+    LATERAL (min of first in-window boundary / forced max / doc end) —
+    the sim10 pattern applied to cut placement; recursion depth is
+    max(len)/min_len, breadth the corpus.
+
+    Scale posture: one doc-keyed token exchange into the per-doc groups
+    (state = one document), then the shared 16-byte-fp ledger aggs
+    (`chunk_dedup_ledger`) — join-free, plan-guarded. The Arrow boundary
+    makes this the measured-cost guard tier over dd11's pure-JVM fast
+    path (receipts in BENCH_LOCAL.md)."""
+    from ..operators.dedup import cdc_chunks_guarded, chunk_dedup_ledger
+
+    return chunk_dedup_ledger(
+        cdc_chunks_guarded(
+            spark.table("documents"),
+            modulus=_CDC_MOD,
+            min_len=_CDC_MIN,
+            max_len=_CDC_MAX,
+        )
+    )
