@@ -435,19 +435,35 @@ def test_tx16_winnow_is_codegen_window_not_lambda(spark, sf_dir):
     """tx16: the winnow selection must be the explode + sliding-frame
     window-min plan (whole-stage codegen), not interpreted array lambdas —
     the plan carries a Window with a pos-ordered ROWS frame partitioned by
-    doc_id, and exactly one Generate (the posexplode)."""
+    doc_id, and EXACTLY one Generate (r14: the explode+window subtree used
+    to be replicated into three consumer branches; the restructure pins it
+    to a single instance, so a second Generate means the md5 hashing pass
+    got duplicated again). The md5 gram hashing must live INSIDE the
+    Generate node (an inline generator expression — SPARK-33544 adds no
+    inferred pre-filter for it), never in a Filter: a Filter evaluating the
+    transform(md5 ...) means InferFiltersFromGenerate + pushdown re-inlined
+    the hashing (3× per row, the r14-measured regression shape)."""
     plan = _plan(spark, sf_dir, "tx16_winnowing_fingerprints")
     assert "Window" in plan
-    assert plan.count("Generate") >= 1
+    gen_lines = [ln for ln in plan.splitlines() if "Generate posexplode" in ln]
+    assert len(gen_lines) == 1, plan
+    assert "md5" in gen_lines[0], gen_lines  # hashing inline in the generator
     for ln in plan.splitlines():
-        if "windowspecdefinition" in ln and "pos" in ln:
+        if ln.lstrip().startswith(("Filter", "+- Filter", ": +- Filter")) or (
+            "Filter (" in ln
+        ):
+            assert "md5" not in ln, ln
+        if "windowspecdefinition" in ln and "pos#" in ln:
             assert "doc_id" in ln.split("windowspecdefinition", 1)[1].split(",", 1)[0], ln
-    # r12: every window in the plan is the sliding ROWS-frame min — the
-    # per-doc gram count projects through the posexplode, so no unbounded
-    # (full-buffer) count window may reappear
+    # the doc_id window is the sliding ROWS-frame min; the only other
+    # window allowed is the per-hash doc-count SUM over already-aggregated
+    # (source, fph) rows — partitioned by fph, group size <= n_sources
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
-            assert "specifiedwindowframe(RowFrame, currentrow" in ln, ln
+            assert (
+                "specifiedwindowframe(RowFrame, currentrow" in ln
+                or "fph" in ln.split("windowspecdefinition", 1)[1].split(",", 1)[0]
+            ), ln
 
 
 def test_pipe14_no_cartesian_and_pair_state_is_aggregated(spark, sf_dir):

@@ -39,6 +39,50 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# One parquet scan split at Spark's default maxPartitionBytes (128 MB). A
+# frame estimated under this collapsed to one scan task (single file, single
+# row group in the fixtures), so everything fused above the scan runs on one
+# core no matter how many the session has — the guide's "input skew: one
+# huge unsplittable file; repartition immediately after the read" case
+# (§2.5), in miniature. The bound also caps the fan-out shuffle's bytes.
+_FANOUT_MAX_BYTES = 128 * 1024 * 1024
+
+
+def fan_out_small_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Scale-adaptive fan-out for EXPRESSION-HEAVY pipelines over a small
+    scan: when the frame has fewer partitions than the session has cores AND
+    is estimated under one scan split, hash-repartition it on ``key_col`` to
+    ``defaultParallelism`` so the md5/tokenize/fold work above it runs
+    cores-wide instead of on the scan's single task.
+
+    Opt-in PER OPERATOR, never per table: the r14 interleaved A/Bs measured
+    the win only where per-row expression cost dominates (per-gram md5
+    pipelines: dd4/dd7/dd10/tx16/tx9/pipe5/tx11; int8 quantization+folds:
+    pipe16) and a 2–3× TAX on light queries that share the same tables
+    (tx18/mm9/pipe7–9), so a blanket table-level fan-out loses net. Keyed
+    hash partitioning on the unique id — NOT round-robin, whose
+    sortBeforeRepartition pays a full local sort of the rows (guide §2.5;
+    measured as most of the light-query tax) — and a unique key spreads
+    evenly at any scale. Both gate operands derive from the environment
+    (estimated bytes, partition count, session parallelism): a real layout
+    has many splits and/or exceeds the size bound, so cluster-scale scans
+    never pay the shuffle; the shuffle, when it fires, moves under one
+    split of bytes."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if cores <= 1:
+        return df
+    try:
+        if df.rdd.getNumPartitions() >= cores:
+            return df
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # estimation unavailable — leave the plan untouched
+        return df
+    if est >= _FANOUT_MAX_BYTES:
+        return df
+    return df.repartition(cores, F.col(key_col))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

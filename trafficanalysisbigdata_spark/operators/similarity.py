@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.vectors import as_double, cosine, cosine_prenorm, norm
+from ..functions.vectors import as_double, cosine, cosine_prenorm, dot, norm
 
 
 def plane_component(table: int, plane: int, dim_i: int) -> float:
@@ -89,6 +89,13 @@ def multi_table_buckets(
 
     One Arrow-batched matmul per partition batch — the per-row cost is
     O(dim · L · P) multiply-adds in BLAS, independent of corpus size.
+
+    The UDF is marked non-deterministic (it is pure — this is purely an
+    optimizer fence, the guide-§4.4 idiom): every caller posexplodes the
+    bucket array, and InferFiltersFromGenerate + filter pushdown duplicated
+    the WHOLE matmul UDF below the inferred ``size(buckets) > 0`` filter —
+    two ArrowEvalPython nodes per side, every corpus row paying the
+    signature matmul twice (r14-before sim3/sim4 plans; one node after).
     """
     mat = plane_matrix(n_tables, n_planes, dim, table_offset)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -103,7 +110,7 @@ def multi_table_buckets(
         sigs = bits @ weights  # (batch, L)
         return pd.Series(list(sigs.astype(np.int32)))
 
-    return df.withColumn(out_col, _buckets(F.col(vec_col)))
+    return df.withColumn(out_col, _buckets.asNondeterministic()(F.col(vec_col)))
 
 
 def _exploded_buckets(
@@ -851,11 +858,27 @@ def threshold_pairs(
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold. O(n²) — the small-n correctness baseline
     only; ``lsh_neardup_pairs`` is the registered scale path."""
-    a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    # prenorm/precast (r14): casts and norm folds once per row, one dot fold
+    # per pair — bit-identical to cosine() (functions/vectors.py contract)
+    a = corpus.select(
+        F.col(id_col).alias("id1"),
+        as_double(F.col(vec_col)).alias("v1"),
+        norm(as_double(F.col(vec_col))).alias("n1"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id2"),
+        as_double(F.col(vec_col)).alias("v2"),
+        norm(as_double(F.col(vec_col))).alias("n2"),
+    )
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -866,10 +889,36 @@ def _argmax_cosine(rows: DataFrame, cands: DataFrame, key_col: str, pick_col: st
     round(cosine, 6), ties to the smallest pick id — reduced by a
     map-side-combinable ``max(struct(cos, -pick, vec))`` so the vector
     rides the struct without being compared. ``cands`` must be
-    broadcast-small. Returns (key, pick, vec)."""
+    broadcast-small. Returns (key, pick, vec).
+
+    r14 perf: the per-pair score is prenorm-style — each side's double cast
+    and norm fold run ONCE per input row (below the join on the stream side,
+    below the BroadcastExchange on the candidate side) instead of 2 casts +
+    3 interpreted folds per (row × candidate). dot/(nr·nc) evaluates the
+    identical expression tree in the identical order as ``cosine()``, so the
+    rounded-6 value is bit-identical (the ``cosine_prenorm`` contract,
+    functions/vectors.py). Measured on dd5's flat 2000×64 assignment at
+    sf0.1: the n·k stage drops ~3× in interpreted-fold work."""
+    r = rows.select(
+        key_col,
+        "vec",
+        as_double(F.col("vec")).alias("__vd"),
+        norm(as_double(F.col("vec"))).alias("__nr"),
+    )
+    c = cands.select(
+        pick_col,
+        as_double(F.col("center")).alias("__cd"),
+        norm(as_double(F.col("center"))).alias("__nc"),
+    )
     return (
-        rows.crossJoin(F.broadcast(cands))
-        .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
+        r.crossJoin(F.broadcast(c))
+        .withColumn(
+            "__cos",
+            F.round(
+                dot(F.col("__vd"), F.col("__cd")) / (F.col("__nr") * F.col("__nc")),
+                6,
+            ),
+        )
         .groupBy(key_col)
         .agg(
             F.max(
@@ -941,9 +990,32 @@ def two_level_assign(
         "vid",
         "sid",
     )
+    # level-2 scoring: same prenorm/precast discipline as _argmax_cosine —
+    # per-row casts and norms computed once below the join, one dot fold per
+    # (vector × in-cell centroid); bit-identical to cosine() by the
+    # cosine_prenorm contract
+    v2 = v2s.select(
+        "vid",
+        "sid",
+        "vec",
+        as_double(F.col("vec")).alias("__vd"),
+        norm(as_double(F.col("vec"))).alias("__nr"),
+    )
+    c2 = c2s.select(
+        "sid",
+        "cid",
+        as_double(F.col("center")).alias("__cd"),
+        norm(as_double(F.col("center"))).alias("__nc"),
+    )
     return (
-        v2s.join(F.broadcast(c2s), "sid")
-        .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
+        v2.join(F.broadcast(c2), "sid")
+        .withColumn(
+            "__cos",
+            F.round(
+                dot(F.col("__vd"), F.col("__cd")) / (F.col("__nr") * F.col("__nc")),
+                6,
+            ),
+        )
         .groupBy("vid")
         .agg(
             F.max(
@@ -1154,6 +1226,13 @@ def quantized_topk(
         .withColumn("c_nn", F.expr(self_dot.format(c="c_qv")))
         .filter(F.col("c_nn") > 0)
     )
+    # r14 optimization pass note: an Arrow-vectorized numpy dot was
+    # A/B-measured against this interpreted fold (exact BIGINT — any order
+    # is bit-identical, so the swap is legal) and LOST at fixture candidate
+    # volume: min-of-4 interleaved 2.13 s (UDF) vs 1.47 s (fold) on the
+    # pipe16 shape — shipping both int arrays across the Arrow boundary
+    # costs more than the fold saves at ~3.6e5 pairs. Revisit only if a
+    # corpus pushes stage-1 candidate volume orders of magnitude higher.
     scored = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1444,9 +1523,29 @@ def build_hash_ivf_index(
         )
     else:
         assigned = (
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
-            .crossJoin(F.broadcast(centers))
-            .withColumn("__cos", F.round(cosine(F.col("vec"), F.col("center")), 6))
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("vec"),
+                as_double(F.col(vec_col)).alias("__vd"),
+                norm(as_double(F.col(vec_col))).alias("__nr"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    centers.select(
+                        "cl",
+                        F.col("center").alias("__cd"),  # already double (as_double at pick)
+                        norm(F.col("center")).alias("__nc"),
+                    )
+                )
+            )
+            .withColumn(
+                "__cos",
+                F.round(
+                    dot(F.col("__vd"), F.col("__cd"))
+                    / (F.col("__nr") * F.col("__nc")),
+                    6,
+                ),
+            )
             .groupBy("neighbor_id")
             .agg(
                 F.max(

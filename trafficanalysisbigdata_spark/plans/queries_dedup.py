@@ -516,7 +516,14 @@ def dd9_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, candidates banded + capped); the component-agreement join touches
     signatures (8 fixed md5 columns per doc), not token sets, and the exact
     Jaccard runs only on candidate pairs — everything is
-    candidate-volume-bounded, which the cap bounds in turn."""
+    candidate-volume-bounded, which the cap bounds in turn.
+
+    r14 optimization pass note: persisting ``sig``/``pairs`` (they have 5
+    and 2 consumers in the logical plan) was A/B-measured SLOWER at sf0.1
+    (steady-state ~2.3 s unpersisted vs ~2.6 s persisted): AQE's runtime
+    exchange reuse already dedupes the identical banded-candidate exchanges,
+    and the cache adds materialization + InMemoryRelation scan overhead
+    while breaking whole-stage fusion. Left unpersisted on that evidence."""
     from ..operators.dedup import (
         doc_token_arrays,
         doc_token_sets,

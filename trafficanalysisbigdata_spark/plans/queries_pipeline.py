@@ -403,8 +403,11 @@ def pipe5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.text import token_ngrams
+    from ..io import fan_out_small_scan
 
-    docs = spark.table("documents")
+    # the 5-gram explode dominates — fan a one-split scan out to the
+    # session's cores (no-op on real multi-split layouts)
+    docs = fan_out_small_scan(spark.table("documents"), "doc_id")
     pairs = docs.select(
         "doc_id",
         "source",
@@ -1142,7 +1145,13 @@ def pipe14_containment_leak_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped eval postings are the broadcast side of one equi join and the
     (e, t) count partial-aggregates map-side. No train×train pair ever
     materializes; train cost is one postings explode, the same scan dd7
-    receipts to 1M."""
+    receipts to 1M.
+
+    r14 optimization pass note: persisting the eval-side postings (4 logical
+    consumers) was A/B-measured SLOWER at sf0.1 (steady ~3.3 s unpersisted
+    vs ~4.5 s persisted) — AQE runtime exchange reuse already shares the
+    duplicated subtrees and the cache breaks stage fusion. Left unpersisted
+    on that evidence."""
     from ..operators.dedup import df_capped, doc_shingle_sets
 
     docs = spark.table("documents")
@@ -1339,9 +1348,13 @@ def pipe16_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     so full-precision train vectors are touched at shortlist selectivity
     only. Plan-guarded: no CartesianProduct, no SortMergeJoin — every join
     is broadcast by construction."""
+    from ..io import fan_out_small_scan
     from ..operators.similarity import two_stage_rerank_topk
 
-    emb = spark.table("embeddings")
+    # int8 quantization + per-pair integer folds dominate — fan a one-split
+    # scan out to the session's cores (no-op on real multi-split layouts;
+    # measured 4.4 → 2.4 s at sf0.1, OPTIMIZATION_r14.md)
+    emb = fan_out_small_scan(spark.table("embeddings"), "vec_id")
     docs = spark.table("documents")
     split = emb.select(
         "vec_id",

@@ -374,7 +374,12 @@ def boilerplate_share_report(docs: DataFrame, big_corpus: bool) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.text import token_bigrams
+    from ..io import fan_out_small_scan
 
+    # per-gram tokenize/explode dominates — fan a one-split scan out to the
+    # session's cores (no-op on real multi-split layouts; measured win in
+    # OPTIMIZATION_r14.md)
+    docs = fan_out_small_scan(docs, "doc_id")
     pairs = docs.select(
         "doc_id",
         "source",
@@ -505,10 +510,13 @@ def tx11_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure per-row Catalyst array math on one scan + one groupBy — no
     postings, no joins; docs under 3 tokens are excluded (no trigrams)."""
     from ..functions.text import token_ngrams
+    from ..io import fan_out_small_scan
 
     tg = token_ngrams(F.col("text"), 3)
     per_doc = (
-        spark.table("documents")
+        # the per-row trigram array math dominates — fan a one-split scan
+        # out to the session's cores (no-op on real layouts)
+        fan_out_small_scan(spark.table("documents"), "doc_id")
         .select(
             "source",
             F.size(tg).alias("n_tg"),
@@ -901,42 +909,72 @@ def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently wrap.
 
     Scale posture: the window-min selection runs RELATIONALLY — gram
-    hashes explode to (doc, pos, h32) rows (the md5 expression evaluated
-    exactly once per gram) and each window's rightmost-min is a sliding
-    ROWS-frame MIN over pos, whole-stage-codegen the entire way. (The
-    array-lambda formulation was measured first: nested HOFs run
+    hashes explode to (doc, pos, h32) rows and each window's rightmost-min
+    is a sliding ROWS-frame MIN over pos, whole-stage-codegen the entire
+    way. (The array-lambda formulation was measured first: nested HOFs run
     interpreted AND CollapseProject re-inlines the hash-array expression
     into every lambda reference — 249 s at sf0.001 vs ~seconds here; the
-    explode+window shape is the fix, not a cache.) One exchange on doc_id
-    serves the sliding min and the per-doc rollup — the per-doc gram count
-    projects through the posexplode (``F.size`` of the array in hand), never
-    a second full-buffer window pass; the skinny
-    (source, hash) postings then follow dd7's distinct + partial-agg
-    posture. Docs under k+w-1 tokens legitimately carry zero fingerprints
-    and are kept in the per-source denominators via the left join."""
+    explode+window shape is the fix, not a cache.)
+
+    The r14 optimization pass restructured the consumers so the md5 gram
+    hashing runs EXACTLY ONCE end to end (it was ~10× before — measured
+    9.1 s → 5.8 s at sf0.1 same-host, 16 exchanges → 5, 4 document scans
+    → 2, three explode+window subtrees → one):
+
+    * the hash array is built INSIDE the posexplode generator, never as a
+      named projection column — exploding a projected alias let
+      InferFiltersFromGenerate + filter pushdown re-inline the whole
+      transform(md5) into a pre-Generate Filter, evaluating it 3× per row
+      (size>0, isnotnull, then the Generate itself); an inline generator
+      expression is evaluated once and (SPARK-33544) gets no inferred
+      filter at all. ``n_grams`` is token-count arithmetic computed
+      alongside, NOT size(hash_array);
+    * ``base`` (per-source doc counts and gram totals over ALL docs,
+      including sub-11-token ones with zero fingerprints) uses the same
+      arithmetic — the old ``size(transform(md5 ...))`` paid a full
+      hashing pass for a length;
+    * the three downstream consumers (per-doc fingerprint counts, per-hash
+      document frequency, per-source shared-hash rollup) are ONE linear
+      aggregation chain over the selected keys instead of three separate
+      subtrees each re-deriving the explode+window pipeline: distinct
+      (doc, source, k) rows give n_fps by count; (source, fph) groups give
+      n_hashes; the corpus-wide per-hash doc count is a SUM over the
+      (source, fph) aggregate partitioned by fph (doc→source is
+      functional, so summing per-source distinct-doc counts is exactly
+      countDistinct(doc) per hash) — that window runs over
+      already-aggregated skinny rows, group size ≤ n_sources.
+
+    Docs under k+w-1 tokens legitimately carry zero fingerprints and are
+    kept in the per-source denominators via the left join."""
     from pyspark.sql.window import Window
 
-    from ..functions.text import token_ngrams
+    from ..functions.text import token_ngrams, tokens
+    from ..io import fan_out_small_scan
 
     enc = 2_147_483_648
-    hashed = spark.table("documents").select(
-        "doc_id",
-        "source",
-        F.transform(
-            token_ngrams(F.col("text"), 4),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-        ).alias("h"),
+    # per-gram md5 dominates — fan a one-split scan out to the session's
+    # cores (no-op on real multi-split layouts; see OPTIMIZATION_r14.md)
+    docs = fan_out_small_scan(spark.table("documents"), "doc_id")
+    n_tok = F.size(tokens(F.col("text")))
+    n_grams_expr = F.when(n_tok >= 4, n_tok - 3).otherwise(F.lit(0))
+    base_agg = (
+        docs.select("source", n_grams_expr.alias("n_grams"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("sum_grams"),
+        )
     )
-    base = hashed.select("doc_id", "source", F.size("h").alias("n_grams"))
-    # n_grams rides the posexplode projection (size of the array being
-    # exploded) — recomputing it as count(1) OVER (PARTITION BY doc_id) was
-    # a second full-buffer window pass on the roster's slowest query for a
-    # value already in hand (r11 verdict item #3).
-    posts = hashed.select(
+    posts = docs.select(
         "doc_id",
         "source",
-        F.size("h").alias("n_grams"),
-        F.posexplode("h").alias("pos", "h32"),
+        n_grams_expr.alias("n_grams"),
+        F.posexplode(
+            F.transform(
+                token_ngrams(F.col("text"), 4),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+            )
+        ).alias("pos", "h32"),
     )
     w_slide = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, 7)
@@ -951,44 +989,38 @@ def tx16_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
     )
     valid = scored.filter(F.col("pos") <= F.col("n_grams") - 8)
-    per_doc = valid.groupBy("doc_id").agg(
-        F.countDistinct("k").alias("n_fp")
-    )
-    fp = (
+    # one distinct over (doc, source, k): its row count per source IS
+    # sum-over-docs of countDistinct(k), the old per_doc branch's output
+    sel = valid.select("doc_id", "source", "k").distinct()
+    per_sf = (
         # integer div, NOT `/`: double division of a near-2^63 key loses
         # the hash's low bits past the 53-bit mantissa
-        valid.select(
-            "doc_id", "source", F.expr(f"k div {enc}L").alias("fph")
+        sel.select("doc_id", "source", F.expr(f"k div {enc}L").alias("fph"))
+        .groupBy("source", "fph")
+        .agg(
+            F.count(F.lit(1)).alias("n_k"),
+            F.countDistinct("doc_id").alias("nd"),
         )
-        .distinct()
     )
-    per_hash = fp.groupBy("fph").agg(
-        F.countDistinct("doc_id").alias("n_docs_hash")
+    flagged = per_sf.withColumn(
+        "n_docs_hash", F.sum("nd").over(Window.partitionBy("fph"))
     )
-    doc_hash = (
-        fp.select("source", "fph").distinct().join(per_hash, "fph")
-    )
-    hash_stats = doc_hash.groupBy("source").agg(
+    hash_stats = flagged.groupBy("source").agg(
+        F.sum("n_k").alias("n_fp_sum"),
         F.count(F.lit(1)).alias("n_hashes"),
         F.sum((F.col("n_docs_hash") >= 2).cast("bigint")).alias("n_shared"),
     )
+    n_fps = F.coalesce(F.col("n_fp_sum"), F.lit(0)).cast("bigint")
     return (
-        base.join(per_doc, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("n_fp"), F.lit(0)).cast("bigint").alias("n_fps"),
-            F.sum("n_grams").alias("sum_grams"),
-        )
-        .join(hash_stats, "source", "left")
+        base_agg.join(hash_stats, "source", "left")
         .select(
             "source",
             "n_docs",
-            "n_fps",
+            n_fps.alias("n_fps"),
             F.coalesce("n_hashes", F.lit(0)).cast("bigint").alias("n_hashes"),
             F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
             F.round(
-                F.col("n_fps") / F.nullif(F.col("sum_grams").cast("double"), F.lit(0.0)),
+                n_fps / F.nullif(F.col("sum_grams").cast("double"), F.lit(0.0)),
                 6,
             ).alias("density"),
         )
