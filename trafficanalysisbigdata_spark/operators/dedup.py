@@ -340,10 +340,6 @@ def ngram_jaccard_scores(
     from ..functions.text import token_bigrams
     from ..io import fan_out_small_scan
 
-    # bigram tokenize/explode dominates — fan a one-split scan out to the
-    # session's cores (no-op on real multi-split layouts; measured win in
-    # OPTIMIZATION_r14.md)
-    docs = fan_out_small_scan(docs, "doc_id")
     n_docs_known = None
     if big_corpus is None:
         # gate on the cheap count FIRST — the shingle-size sum tokenizes the
@@ -352,6 +348,11 @@ def ngram_jaccard_scores(
         # the big path, whose total cost amortizes it, runs the sizing agg.
         n_docs_known = docs.count()
         big_corpus = n_docs_known > NGRAM_JACCARD_CROSSOVER_DOCS
+    # fan out AFTER the gate count so the count scans raw parquet metadata
+    # without paying the fan-out exchange; the tokenize/explode stages below
+    # are what the fan-out exists for (no-op on real multi-split layouts;
+    # measured win in OPTIMIZATION_r14.md)
+    docs = fan_out_small_scan(docs, "doc_id")
     if big_corpus:
         sig = minhash_signatures(doc_shingle_sets(docs, text_col), num_perm=num_perm)
         cand = lsh_candidate_pairs(

@@ -802,8 +802,11 @@ def tx15_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     same distinct sets short of a 64-bit collision (dd7's argument).
     """
     from ..functions.text import token_ngrams
+    from ..io import fan_out_small_scan
 
-    docs = spark.table("documents")
+    # the 5-gram explode dominates — fan a one-split scan out to the
+    # session's cores (no-op on real multi-split layouts)
+    docs = fan_out_small_scan(spark.table("documents"), "doc_id")
     post = (
         docs.select(
             "source", F.explode(token_ngrams(F.col("text"), 5)).alias("sh")
