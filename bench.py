@@ -6,11 +6,15 @@
     {"metric": "total_query_wall_seconds", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1, "iters": 3}
 
-Each per-query number is the MEDIAN of ``$SPARK_GRAFT_BENCH_ITERS``
-(default 3) full passes — single-shot wall times on a shared host swing
-±12% with load (see BENCH_LOCAL.md), and medians of interleaved passes are
-robust to a noisy neighbor landing on one pass. ``value`` is the sum of the
-medians.
+Each per-query number is the MIN of ``$SPARK_GRAFT_BENCH_ITERS`` (default 2)
+full passes — single-shot wall times on a shared host swing with load, and
+the documented failure mode is one-sided (roaming multi-second stalls INFLATE
+whichever query they land on; see BENCH_LOCAL.md and the r14 verdict's
+stall-tail analysis), so the min across passes is the robust estimator where
+a median of 2 would average the stall in. ``value`` is the sum of the mins.
+(Measurement-hygiene change, round 15, per the r14 verdict's item #1: the
+prior default was median of 3 passes; queries, scale factor, noop-sink
+timing, and the JSON contract are unchanged.)
 
 Each query is forced end-to-end with the noop sink (full physical execution,
 zero serialization-to-driver cost), after a warmup action that absorbs JVM /
@@ -18,9 +22,12 @@ codegen startup. All diagnostic chatter goes to stderr; stdout carries only
 the JSON line so the driver's parser always finds it.
 
 ``calib_s`` is the median wall of a fixed synthetic workload (64M-row range
-→ xxhash64 → 64-group agg, pinned 32 partitions, no file I/O) run once per
-pass. It moves only with host load, so round-over-round comparisons should
-quote ratios normalized by calib_s instead of raw walls.
+→ xxhash64 → 64-group agg, pinned 32 partitions, no file I/O) sampled at the
+start of each pass AND every 20 roster queries within it. It moves only with
+host load, so round-over-round comparisons should quote ratios normalized by
+calib_s instead of raw walls; the per-sample trace (``calib_chunks``, one
+list per pass) localizes a mid-run degradation window instead of averaging
+it away.
 """
 
 from __future__ import annotations
@@ -35,11 +42,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
-# Time-box: stop starting new passes once total measured time exceeds this —
-# under heavy host load 3 passes could outlive an external runner's timeout,
-# and one reported pass beats a killed run reporting nothing.
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "300"))
+ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
+# Time-box: stop starting new QUERIES once total measured time exceeds this —
+# under heavy host load the passes could outlive an external runner's
+# timeout, and a partially-sampled pass beats a killed run reporting nothing.
+# Checked per query (not per pass) so a slow host still gets partial
+# second-pass coverage; odd passes walk the roster in REVERSE so the roster
+# tail — the region a mid-run stall window hurt in the r14 driver artifact —
+# receives its second sample first when the budget cuts a pass short.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "600"))
+# Calibration cadence inside a pass (every N roster queries), so a mid-run
+# host-degradation window is visible in the calib trace instead of being
+# averaged into one run-level number.
+CALIB_EVERY = 20
 
 # Headline set: every operator family with its most expensive representative —
 # scans/aggs, multi-way shuffle joins, as-of, windows, wide/unpivot, top-k,
@@ -251,18 +266,34 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     calib_samples: list[float] = []
+    calib_chunks: list[list[float]] = []
     bench_t0 = time.perf_counter()
     iters_run = 0
+    budget_hit = False
     for it in range(ITERS):
-        if it > 0 and time.perf_counter() - bench_t0 > BUDGET_S:
+        if budget_hit or (it > 0 and time.perf_counter() - bench_t0 > BUDGET_S):
             print(
                 f"bench: budget {BUDGET_S}s exhausted after {it} passes",
                 file=sys.stderr,
             )
             break
         iters_run = it + 1
-        calib_samples.append(calibrate())
-        for name in BENCH_QUERIES:
+        chunk: list[float] = [round(calibrate(), 3)]
+        calib_chunks.append(chunk)
+        # reverse on odd passes: if the budget cuts this pass short, the
+        # roster tail already has its second sample (see BUDGET_S comment)
+        roster = BENCH_QUERIES if it % 2 == 0 else list(reversed(BENCH_QUERIES))
+        for qi, name in enumerate(roster):
+            if it > 0 and time.perf_counter() - bench_t0 > BUDGET_S:
+                budget_hit = True
+                print(
+                    f"bench: budget {BUDGET_S}s exhausted mid-pass {it + 1} "
+                    f"after {qi} queries",
+                    file=sys.stderr,
+                )
+                break
+            if qi and qi % CALIB_EVERY == 0:
+                chunk.append(round(calibrate(), 3))
             spec = specs.get(name)
             if spec is None:
                 if it == 0:
@@ -282,9 +313,10 @@ def main() -> None:
                 # to the harness; release so passes don't pin memory/disk.
                 release_caches()
             samples[name].append(time.perf_counter() - t0)
+        calib_samples.extend(chunk)
 
     times = {
-        name: (round(statistics.median(s), 3) if s else -1.0)
+        name: (round(min(s), 3) if s else -1.0)
         for name, s in samples.items()
     }
     # The driver's committed artifact truncates the JSON tail at ~2000 chars,
@@ -315,6 +347,7 @@ def main() -> None:
                     if calib_samples
                     else -1.0
                 ),
+                "calib_chunks": calib_chunks,
             }
         )
     )

@@ -3,7 +3,7 @@
 DuckDB oracle at sf0.01 and sf0.001 exactly like the driver mirror, then
 (2) time each with the noop sink at sf0.1 (median of N passes after warmup).
 
-Usage: python scripts/opt_check.py [--time N] [--sf-only] names...
+Usage: python scripts/opt_check.py [--time N] [--skip-verify] names...
 """
 
 from __future__ import annotations

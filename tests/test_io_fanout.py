@@ -7,23 +7,29 @@ core. The measured winners (dd4/dd7/dd10/tx16/tx9/pipe5/tx11/pipe16) opt in
 PER OPERATOR via ``fan_out_small_scan(df, key)``: a KEYED hash repartition
 to ``defaultParallelism`` (round-robin pays sortBeforeRepartition on the
 full rows — A/B-measured as a 2–3× tax on light queries), gated on
-partitions < cores AND estimated bytes under one scan split so cluster-scale
-layouts never pay the shuffle. These tests pin the gate's behaviors.
+estimated bytes under one scan split (read from
+``spark.sql.files.maxPartitionBytes``, r15) AND partitions < cores, so
+cluster-scale layouts never pay the shuffle. These tests pin the gate's
+behaviors.
 """
 
 from __future__ import annotations
 
 import pytest
 
-import trafficanalysisbigdata_spark.io as io_mod
 from trafficanalysisbigdata_spark.io import fan_out_small_scan, load_table
 
+_MPB = "spark.sql.files.maxPartitionBytes"
 
-@pytest.fixture(autouse=True)
-def _restore_gate():
-    orig = io_mod._FANOUT_MAX_BYTES
+
+@pytest.fixture()
+def _tiny_split(spark):
+    """Shrink the session's scan-split conf so every frame estimates 'big
+    enough' — the gate must read the CONF (r14 advice), not a constant."""
+    orig = spark.conf.get(_MPB)
+    spark.conf.set(_MPB, "1")
     yield
-    io_mod._FANOUT_MAX_BYTES = orig
+    spark.conf.set(_MPB, orig)
 
 
 def test_small_scan_fans_out_to_parallelism(spark, sf_dir):
@@ -33,8 +39,9 @@ def test_small_scan_fans_out_to_parallelism(spark, sf_dir):
     assert n == cores, f"expected {cores} partitions after fan-out, got {n}"
 
 
-def test_gate_off_past_size_bound(spark, sf_dir):
-    io_mod._FANOUT_MAX_BYTES = 0  # every frame now estimates "big enough"
+def test_gate_off_past_size_bound(spark, sf_dir, _tiny_split):
+    # with maxPartitionBytes=1 every frame sits past one "split": the gate
+    # must come back untouched, proving the bound tracks the session conf
     base = load_table(spark, sf_dir, "embeddings")
     df = fan_out_small_scan(base, "vec_id")
     assert df is base  # untouched — no repartition node added
@@ -45,6 +52,20 @@ def test_gate_off_when_partitions_cover_cores(spark, sf_dir):
     base = load_table(spark, sf_dir, "documents").repartition(cores, "doc_id")
     df = fan_out_small_scan(base, "doc_id")
     assert df is base  # already cores-wide: adding another exchange is waste
+
+
+def test_gate_off_on_multi_file_layout(spark, sf_dir, tmp_path):
+    # the at-scale claim, receipted on an ACTUAL multi-file layout (r14
+    # verdict item #9): a table laid out as >= cores files scans with
+    # >= cores input partitions (openCostInBytes pads tiny files into their
+    # own splits), so the gate must stay off even though the bytes are small
+    cores = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "docs_multifile")
+    load_table(spark, sf_dir, "documents").repartition(cores * 2).write.parquet(path)
+    base = spark.read.parquet(path)
+    assert base.rdd.getNumPartitions() >= cores  # layout precondition
+    df = fan_out_small_scan(base, "doc_id")
+    assert df is base  # untouched — real layouts never pay the shuffle
 
 
 def test_fanout_is_keyed_not_roundrobin(spark, sf_dir):

@@ -12,6 +12,8 @@ re-planning (skew splits, broadcast demotion) comes later.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from trafficanalysisbigdata_spark.io import register_views
@@ -449,9 +451,9 @@ def test_tx16_winnow_is_codegen_window_not_lambda(spark, sf_dir):
     assert len(gen_lines) == 1, plan
     assert "md5" in gen_lines[0], gen_lines  # hashing inline in the generator
     for ln in plan.splitlines():
-        if ln.lstrip().startswith(("Filter", "+- Filter", ": +- Filter")) or (
-            "Filter (" in ln
-        ):
+        # match Filter at any tree position (any ':'/'+'/'-' branch prefix
+        # mix), not an enumerated prefix list — r14 advice
+        if re.match(r"^[\s:+-]*\(?\d*\)?\s*Filter\b", ln) or "Filter (" in ln:
             assert "md5" not in ln, ln
         if "windowspecdefinition" in ln and "pos#" in ln:
             assert "doc_id" in ln.split("windowspecdefinition", 1)[1].split(",", 1)[0], ln

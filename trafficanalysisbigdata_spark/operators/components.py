@@ -65,22 +65,46 @@ def connected_components(
     id reachable from v. Converges in ≤ max_iter rounds (raises if not —
     silent non-convergence would return wrong clusters).
 
-    Convergence is decided from the round's OWN output: ``old_l`` rides
-    along through the neighbor-min and pointer-jump selects, and
-    ``max(l != old_l)`` over the just-checkpointed result replaces the
-    former separate labels⋈jumped count — one cheap scan over cached blocks
-    instead of an extra shuffle join + count action per round. Each round
+    Round cost (r15 optimization pass): TWO joins per round instead of
+    three. The neighbor-label rows and each vertex's OWN checkpointed label
+    row feed ONE union into the min aggregate, so the aggregate computes
+    ``least(old label, min neighbor label)`` directly — the former
+    ``labels ⋈ nbr`` least-join is gone (and unlike a self-loop edge list,
+    the union adds rows from the cheap cached label blocks, never a third
+    evaluation of the caller's pair subtree). Convergence rides a MONOTONE
+    checksum: labels only ever decrease (every round takes mins of existing
+    labels, and the union keeps the own label in play), so ``sum(l)`` is
+    strictly decreasing until the fixpoint and one aggregate per round
+    replaces the ``old_l`` comparison column. The label sequence is
+    identical to the three-join form round by round (A/B'd on the dd6/pipe12
+    edge sets; equivalence vs union-find is property-tested in
+    tests/test_properties.py).
+
+    The edge list skips ``symmetrized_edges``' dedup: every consumer of
+    ``edges`` here is a MIN aggregate, which is duplicate-insensitive, so
+    the ``distinct()`` was a full exchange + aggregate of the edge list at
+    setup buying nothing (and the usual pair producers emit strictly
+    ordered (doc1 < doc2) pairs, which symmetrize duplicate-free anyway) —
+    A/B'd ~10% off the CC stage at sf0.1, labels identical.
+
+    The per-round checkpoint is LAZY (r14 pass): the convergence aggregate
+    is the action that materializes it, so a round runs ONE job. Each round
     also unpersists the previous round's checkpointed blocks, so peak cached
     state is one label set + the edge list, not O(rounds)."""
     sc = pairs.sparkSession.sparkContext
     pre = _persistent_rdd_ids(sc)
-    edges = symmetrized_edges(pairs, src, dst).localCheckpoint(eager=True)
+    edges = (
+        pairs.select(F.col(src).alias("v"), F.col(dst).alias("w"))
+        .unionByName(pairs.select(F.col(dst).alias("v"), F.col(src).alias("w")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.groupBy("v")
         .agg(F.min("w").alias("nbr_min"))
         .select("v", F.least(F.col("v"), F.col("nbr_min")).alias("l"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = labels.agg(F.sum("l").alias("s")).first()["s"]
     setup_ids = _persistent_rdd_ids(sc) - pre
     round_ids: set[int] = set()
     try:
@@ -88,43 +112,36 @@ def connected_components(
             before = _persistent_rdd_ids(sc)
             nbr = (
                 edges.join(labels.select(F.col("v").alias("w"), F.col("l").alias("lw")), "w")
+                .select("v", "lw")
+                .unionByName(labels.select("v", F.col("l").alias("lw")))
                 .groupBy("v")
-                .agg(F.min("lw").alias("nl"))
+                .agg(F.min("lw").alias("l"))  # own label rides the union
             )
-            stepped = labels.join(nbr, "v", "left").select(
-                "v",
-                F.col("l").alias("old_l"),
-                F.least("l", F.coalesce("nl", "l")).alias("l"),
-            )
-            # pointer jump: follow the label chain one hop. The checkpoint is
-            # LAZY (r14 optimization pass): the convergence aggregate below is
-            # the action that materializes it, so each round runs ONE job
-            # (materialize + check) instead of two (eager checkpoint, then
-            # check over the cached blocks) — A/B'd ~1.5× on the dd6/pipe12
-            # round loop, identical labels.
+            # pointer jump: follow the label chain one hop (labels only hold
+            # vertex ids, so the left join's miss arm is defensive only)
             jumped = (
-                stepped.join(
-                    stepped.select(F.col("v").alias("l"), F.col("l").alias("ll")),
+                nbr.join(
+                    nbr.select(F.col("v").alias("l"), F.col("l").alias("ll")),
                     "l",
                     "left",
                 )
-                .select("v", "old_l", F.least("l", F.coalesce("ll", "l")).alias("l"))
+                .select("v", F.least("l", F.coalesce("ll", "l")).alias("l"))
                 .localCheckpoint(eager=False)
             )
-            changed = jumped.agg(
-                F.max((F.col("l") != F.col("old_l")).cast("int")).alias("c")
-            ).first()["c"]
-            # ids appear once the checkpoint materializes — read them AFTER
-            # the action above, or this round's blocks would be unprotected
-            # from the next round's cleanup
+            new_sum = jumped.agg(F.sum("l").alias("s")).first()["s"]
+            # read the new ids after the materializing action — a safe
+            # ordering (the persist is registered at localCheckpoint call
+            # time, but reading here guarantees this round's blocks are
+            # counted before the next round's cleanup runs)
             new_ids = _persistent_rdd_ids(sc) - before
             # the previous round's labels are no longer reachable — free them
             # (never the ids backing `jumped`, which the caller may consume)
             _unpersist_rdds(sc, round_ids - new_ids)
             round_ids = new_ids
-            labels = jumped.drop("old_l")
-            if not changed:
+            labels = jumped
+            if new_sum == prev_sum:
                 return labels.select("v", F.col("l").alias("component"))
+            prev_sum = new_sum
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     finally:
         # edges + round-0 labels back only intermediate rounds, never the

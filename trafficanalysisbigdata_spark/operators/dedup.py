@@ -17,6 +17,7 @@ engine — the DuckDB oracles run the identical algorithm.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -750,23 +751,47 @@ def cdc_chunks_guarded(
         .sortWithinPartitions(id_col, "pos")
     )
 
-    def scan_doc(doc: int, toks: list, flags: list, out: list) -> None:
+    def scan_doc(doc: int, toks, flags, out: list) -> None:
+        # Vectorized cut scan (r15 optimization pass, the r14 verdict's #7
+        # A/B): the former form walked every token position in Python
+        # (O(n · max_len) flag probes per doc). Now boundary positions come
+        # from ONE np.flatnonzero and each cut is a binary search into
+        # them, the doc is joined to a string once, and each chunk is a
+        # char-offset SLICE of it (cumsum of token lengths) instead of a
+        # per-chunk list join — the per-cut Python work is O(log B) + one
+        # md5. Identical cut rule: first boundary in [c+min_len,
+        # min(c+max_len, n)], else forced at min(c+max_len, n).
         n = len(toks)
+        bpos = np.flatnonzero(flags) + 1  # 1-based boundary token positions
+        text = " ".join(toks)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        sep_ends = np.cumsum(lens + 1)  # char index just past token i (+sep)
         c, k = 0, 0
         while c < n:
-            nxt = None
-            for p in range(c + min_len, min(c + max_len, n) + 1):
-                if flags[p - 1]:
-                    nxt = p
-                    break
-            if nxt is None:
-                nxt = min(c + max_len, n)
-            fp = hashlib.md5(" ".join(toks[c:nxt]).encode()).hexdigest()
+            hi = min(c + max_len, n)
+            i = np.searchsorted(bpos, c + min_len)
+            nxt = int(bpos[i]) if i < len(bpos) and bpos[i] <= hi else hi
+            start = int(sep_ends[c - 1]) if c else 0
+            fp = hashlib.md5(
+                text[start : int(sep_ends[nxt - 1]) - 1].encode()
+            ).hexdigest()
             out.append((doc, k, nxt - c, fp))
             k += 1
             c = nxt
 
     cols = [id_col, "chunk", "n_tokens", "fp"]
+
+    def scan_frame(pdf: pd.DataFrame, out: list) -> None:
+        # split into per-doc runs with one vectorized boundary scan instead
+        # of a pandas groupby (rows arrive sorted by (doc, pos))
+        ids = pdf[id_col].to_numpy()
+        toks = pdf["token"].to_numpy()
+        flags = pdf["b"].to_numpy()
+        cuts = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+        starts = np.concatenate(([0], cuts))
+        stops = np.concatenate((cuts, [len(ids)]))
+        for s, e in zip(starts, stops):
+            scan_doc(int(ids[s]), toks[s:e], flags[s:e], out)
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry = None
@@ -783,13 +808,11 @@ def cdc_chunks_guarded(
             done = pdf[~mask]
             if len(done):
                 out: list = []
-                for doc, g in done.groupby(id_col, sort=False):
-                    scan_doc(int(doc), list(g["token"]), list(g["b"]), out)
+                scan_frame(done, out)
                 yield pd.DataFrame(out, columns=cols)
         if carry is not None and len(carry):
             out = []
-            for doc, g in carry.groupby(id_col, sort=False):
-                scan_doc(int(doc), list(g["token"]), list(g["b"]), out)
+            scan_frame(carry, out)
             yield pd.DataFrame(out, columns=cols)
 
     return flagged.mapInPandas(

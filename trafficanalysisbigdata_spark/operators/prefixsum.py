@@ -117,6 +117,8 @@ def two_phase_prefix_sums(
     group: tuple[str, ...] = (),
     tiebreak: tuple[str, ...] = (),
     n_buckets: int = 8,
+    totals: dict[str, str] | None = None,
+    cuts_from: DataFrame | None = None,
 ) -> DataFrame:
     """Grouped, multi-column generalization of ``two_phase_prefix_sum``:
     append ``out`` = running sum of ``value`` for every (out, value) in
@@ -136,12 +138,29 @@ def two_phase_prefix_sums(
     bucket, so correctness is independent of cut placement (the parent
     operator's determinism argument applies unchanged).
 
+    ``totals`` optionally appends per-GROUP grand totals of the named value
+    columns to every row. They are free: the offset ledger already holds
+    one (group, bucket) partial-sum row per bucket, so each total is one
+    more window over those n_groups × n_buckets ledger rows (partitioned
+    by the group columns, full frame) riding the same broadcast — callers
+    that previously re-aggregated the INPUT for its group totals paid a
+    full re-evaluation of the input subtree instead (tx17b re-tokenized
+    the corpus for two sums; r15 optimization pass).
+
+    ``cuts_from`` optionally supplies a cheaper frame for the phase-0
+    percentile action. The cuts need only spread work over buckets, never
+    balance it exactly, so ANY frame with the same ``key`` distribution
+    works — and the driver action on ``df`` itself re-evaluates ``df``'s
+    whole subtree (for tx17b: the tokenize/explode/first-seen pipeline)
+    where a pruned base-table scan of the key column costs one column read.
+
     Consumers: tx17's decimated Heaps-fit path (running token/vocab/rank
     sums per source for corpora whose per-source doc count outgrows one
     window task)."""
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = (
-        df.select(
+        (cuts_from if cuts_from is not None else df)
+        .select(
             F.percentile_approx(F.col(key).cast("double"), fracs, 10000).alias("c")
         ).first()["c"]
         or []
@@ -167,12 +186,21 @@ def two_phase_prefix_sums(
         ],
     )
     ptot = local.groupBy(*group, _PID).agg(
-        *[F.sum(val).alias(f"__p_{out}") for out, val in values.items()]
+        *[F.sum(val).alias(f"__p_{out}") for out, val in values.items()],
+        *[
+            F.sum(val).alias(f"__t_{out}")
+            for out, val in (totals or {}).items()
+        ],
     )
     w_off = (
         Window.partitionBy(*(group if group else (F.lit(0),)))
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy(*(group if group else (F.lit(0),)))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     ledger = ptot.select(
         *group,
@@ -182,6 +210,10 @@ def two_phase_prefix_sums(
                 f"{_OFFSET}_{out}"
             )
             for out in values
+        ],
+        *[
+            F.sum(f"__t_{out}").over(w_tot).alias(out)
+            for out in (totals or {})
         ],
     )
     joined = local.join(F.broadcast(ledger), [*group, _PID])

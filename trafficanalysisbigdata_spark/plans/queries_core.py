@@ -611,30 +611,34 @@ def a17_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     tw`` keeps the comparison in exact decimal (a double half-total could
     flap the crossing row between engines).
 
-    Scale discipline (olap9's): the window runs over the catalog REDUCED to
-    one row per (flag, price) — a partial/final groupBy first, so the
-    few-groups window sorts distinct-value rows, not the fact table. At a
-    catalog too large per group, the same two-phase value-bucket prefix-sum
-    olap9 ships applies unchanged (bucket by price range, per-bucket
-    cumsums, ledger offsets)."""
-    from pyspark.sql import Window
+    Scale discipline (olap9's): the running weight runs over the catalog
+    REDUCED to one row per (flag, price) — a partial/final groupBy first,
+    so the cumsum sorts distinct-value rows, not the fact table. r15
+    optimization pass: the cumsum is the GROUPED TWO-PHASE PREFIX-SUM
+    (operators/prefixsum.two_phase_prefix_sums, the olap9/pipe11/tx17b
+    machinery) instead of one window partitioned by flag alone — with a
+    handful of return flags, the flag-partitioned window funneled the
+    whole reduced catalog through as many tasks as there are FLAGS (the
+    single-reducer shape this engine bans elsewhere); now the sort runs
+    per (flag, price-range bucket) and the group total rides the ledger
+    broadcast (``totals``). Decimal addition is associative, so the
+    bucketed cw/tw are bit-identical to the single-window sums
+    (oracle-checked); cuts come from a pruned price scan, so phase 0
+    never re-evaluates the aggregate."""
+    from ..operators.prefixsum import two_phase_prefix_sums
 
+    li = spark.table("lineitem")
     pp = (
-        spark.table("lineitem")
-        .groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w"))
     )
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wt = Window.partitionBy("l_returnflag")
-    c = pp.select(
-        "l_returnflag",
-        "price",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wt).alias("tw"),
+    c = two_phase_prefix_sums(
+        pp,
+        key="price",
+        values={"cw": "w"},
+        group=("l_returnflag",),
+        totals={"tw": "w"},
+        cuts_from=li.select(F.col("l_extendedprice").alias("price")),
     )
     return (
         c.groupBy("l_returnflag")

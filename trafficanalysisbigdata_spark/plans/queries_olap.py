@@ -448,9 +448,16 @@ def ops2_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         load_table(spark, sf_dir, "events")
-        .select("event_id", "ts", "value")
+        .select("event_id", "ts")
         .withColumn("d", F.to_date("ts").cast("string"))
         .withColumn("shard", (F.col("event_id") % 4).cast("int"))
+        # project before the exchange+write (guide §2.3): the audit reads
+        # back only row counts and file paths, so the payload columns the
+        # partition keys were derived from never need to hit the layout —
+        # event_id stays as the data column, ts/value are dropped (~2/3 of
+        # the written bytes; A/B min 2.65 → 2.37 s at sf0.1, output
+        # identical — n_rows/n_files count rows and files, not bytes)
+        .select("event_id", "d", "shard")
     )
     work = tempfile.mkdtemp(prefix=f"ops2_{os.getpid()}_")
     base = os.path.join(work, "events")

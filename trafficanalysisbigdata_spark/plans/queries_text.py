@@ -1140,22 +1140,43 @@ def _heaps_fit(spark: SparkSession, points_per_decade: int) -> DataFrame:
             F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
         )
     )
-    return _heaps_fit_from(per_doc, points_per_decade)
+    return _heaps_fit_from(
+        per_doc, points_per_decade, cuts_from=docs.select("doc_id")
+    )
 
 
-def _heaps_fit_from(per_doc: DataFrame, points_per_decade: int) -> DataFrame:
+def _heaps_fit_from(
+    per_doc: DataFrame, points_per_decade: int, cuts_from: DataFrame | None = None
+) -> DataFrame:
     """Running sums + OLS over an already-built per_doc frame (source,
     doc_id, n_tokens, new_tokens) — split out so the scale rehearsal can
     drive the exact stage the decimation dial changes, on a synthetic
-    per_doc shape, without re-tokenizing a corpus."""
+    per_doc shape, without re-tokenizing a corpus.
+
+    r15 optimization pass: per_doc now has ONE consumer. The per-source
+    grand totals (n_tokens / n_vocab) used to be their own aggregate over
+    per_doc plus a join — a full second evaluation of the tokenize/
+    first-seen pipeline — and the decimated path's range-cut percentile
+    action was a third. Now the totals ride the same window (dial off:
+    two more full-frame sums in the ONE source-partitioned Window node;
+    dial on: ledger totals broadcast by ``two_phase_prefix_sums``) and
+    survive into the OLS aggregate as constants-per-source, and the cuts
+    action reads ``cuts_from`` (a pruned doc_id scan). Totals are running
+    sums of non-negative addends, so max(total column) per source is
+    exactly the former SUM — bit-identical, oracle-checked."""
     from pyspark.sql.window import Window
 
     if points_per_decade <= 0:
         w = Window.partitionBy("source").orderBy("doc_id")
+        w_tot = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         cum = per_doc.select(
             "source",
             F.sum("n_tokens").over(w).alias("nn"),
             F.sum("new_tokens").over(w).alias("vv"),
+            F.sum("n_tokens").over(w_tot).alias("tn"),
+            F.sum("new_tokens").over(w_tot).alias("tv"),
         )
     else:
         from ..operators.prefixsum import two_phase_prefix_sums
@@ -1172,6 +1193,8 @@ def _heaps_fit_from(per_doc: DataFrame, points_per_decade: int) -> DataFrame:
             key="doc_id",
             values={"nn": "n_tokens", "vv": "new_tokens", "rk": "__one"},
             group=("source",),
+            totals={"tn": "n_tokens", "tv": "new_tokens"},
+            cuts_from=cuts_from,
         )
         ppd_lit = F.lit(points_per_decade)
         decile = lambda c: F.floor(F.log10(c) * ppd_lit)  # noqa: E731
@@ -1184,11 +1207,13 @@ def _heaps_fit_from(per_doc: DataFrame, points_per_decade: int) -> DataFrame:
                 decile(F.col("rk"))
                 != decile(F.greatest(F.col("rk") - 1, F.lit(1)))
             )
-        ).select("source", "nn", "vv")
+        ).select("source", "nn", "vv", "tn", "tv")
     pts = cum.select(
         "source",
         F.round(F.log("nn"), 8).cast("decimal(18,8)").alias("x"),
         F.round(F.log("vv"), 8).cast("decimal(18,8)").alias("y"),
+        "tn",
+        "tv",
     )
     st = (
         pts.groupBy("source")
@@ -1198,16 +1223,15 @@ def _heaps_fit_from(per_doc: DataFrame, points_per_decade: int) -> DataFrame:
             F.sum("y").cast("double").alias("sy"),
             F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
             F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            # constant per source (full-frame / ledger totals): max = the
+            # former per_doc SUM, without re-evaluating per_doc
+            F.max("tn").cast("bigint").alias("n_tokens"),
+            F.max("tv").cast("bigint").alias("n_vocab"),
         )
         .filter(F.col("n_docs") >= 2)
     )
-    tot = per_doc.groupBy("source").agg(
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.sum("new_tokens").cast("bigint").alias("n_vocab"),
-    )
     return (
-        st.join(tot, "source")
-        .select(
+        st.select(
             "source",
             F.col("n_docs").cast("bigint").alias("n_docs"),
             "n_tokens",
@@ -1387,24 +1411,37 @@ def tx18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_scored(spark: SparkSession) -> DataFrame:
     """(doc_id, n_terms, bm25) — the Okapi BM25 scoring frame shared by
     tx18 (direct ranking) and tx19 (the lexical leg of RRF fusion). See
-    tx18's docstring for the float discipline and scale posture."""
+    tx18's docstring for the float discipline and scale posture.
+
+    r15 optimization pass: ``dl`` (the per-doc token count every
+    contribution divides by) RIDES THE POSTINGS EXPLODE as a grouping
+    column instead of living in its own scan subtree — the former shape
+    scanned+tokenized documents three times (dl → stats, dl → a
+    doc-keyed shuffle join under contrib, tf) and paid a full
+    n_docs-row sort-merge join to re-attach dl to tf. Now: one postings
+    pass (term-filtered before its exchange, dl rides along, +8 bytes
+    per term-filtered row only), one scalar stats pass, zero doc-keyed
+    joins. tf/df/dl/N/avgdl values are unchanged integers/doubles, so
+    every rounded contribution is bit-identical (oracle-checked)."""
     from ..functions.text import token_count, tokens as _tokens
 
     docs = spark.table("documents")
-    dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
-    stats = dl.agg(
+    stats = docs.select(token_count(F.col("text")).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("dl"),
+            F.explode(_tokens(F.col("text"))).alias("token"),
+        )
         .filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
+        .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
