@@ -1413,35 +1413,32 @@ def _bm25_scored(spark: SparkSession) -> DataFrame:
     tx18 (direct ranking) and tx19 (the lexical leg of RRF fusion). See
     tx18's docstring for the float discipline and scale posture.
 
-    r15 optimization pass: ``dl`` (the per-doc token count every
-    contribution divides by) RIDES THE POSTINGS EXPLODE as a grouping
-    column instead of living in its own scan subtree — the former shape
-    scanned+tokenized documents three times (dl → stats, dl → a
-    doc-keyed shuffle join under contrib, tf) and paid a full
-    n_docs-row sort-merge join to re-attach dl to tf. Now: one postings
-    pass (term-filtered before its exchange, dl rides along, +8 bytes
-    per term-filtered row only), one scalar stats pass, zero doc-keyed
-    joins. tf/df/dl/N/avgdl values are unchanged integers/doubles, so
-    every rounded contribution is bit-identical (oracle-checked)."""
+    r15 optimization pass, measured and REJECTED: riding ``dl`` on the
+    postings explode as a grouping column (removing the dl subtree and its
+    doc-keyed join under contrib, 4 → 3 scans) LOST the interleaved
+    min-of-6 A/B at sf0.1 — separate-dl 0.613 s vs combined 0.685 s —
+    because the combined pass evaluates split(text) TWICE per row (once
+    for token_count, once for the generator; subexpression elimination
+    does not cross the Generate boundary), which outweighs the removed
+    n_docs-row join. Revisit only with a tokenizer that materializes the
+    array once below both consumers."""
     from ..functions.text import token_count, tokens as _tokens
 
     docs = spark.table("documents")
-    stats = docs.select(token_count(F.col("text")).alias("dl")).agg(
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
+    stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        docs.select(
-            "doc_id",
-            token_count(F.col("text")).alias("dl"),
-            F.explode(_tokens(F.col("text"))).alias("token"),
-        )
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
         .filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "token")
+        .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
