@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Round-15 continuation interleaved A/Bs (one JVM, min-of-N, results
+asserted identical once per experiment before any timing):
+
+  pipe14   old: sh = doc_shingle_sets(docs) ⋈ split(doc_id, is_train)
+           new: is_train attached as the derivable _hash_frac expression
+                (no join — the static plan drops one BroadcastHashJoin per
+                replicated shingle subtree)
+
+  minhash  old: explode(token set) -> groupBy(doc_id).agg(min(md5(i|t)))
+           new: row-local array_min(transform(arr, md5(i|t))) — no explode,
+                no aggregate; timed through the full dd2 pipeline shape
+
+Usage: python scripts/ab_r15c.py {pipe14|minhash} [N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("ab-r15c")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+# ---------------------------------------------------------------- pipe14
+
+
+def pipe14_variant(spark, use_join: bool, fanout: bool = False) -> DataFrame:
+    from trafficanalysisbigdata_spark.io import fan_out_small_scan
+    from trafficanalysisbigdata_spark.operators.dedup import (
+        df_capped,
+        doc_shingle_sets,
+    )
+    from trafficanalysisbigdata_spark.plans.queries_pipeline import _hash_frac
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    if fanout:
+        docs = fan_out_small_scan(docs.select("doc_id", "source", "text"), "doc_id")
+    split = docs.select(
+        "doc_id", "source", (_hash_frac(F.col("doc_id")) < 0.9).alias("is_train")
+    )
+    if use_join:
+        sh = doc_shingle_sets(docs).join(
+            split.select("doc_id", "is_train"), "doc_id"
+        )
+    else:
+        sh = doc_shingle_sets(docs).withColumn(
+            "is_train", _hash_frac(F.col("doc_id")) < 0.9
+        )
+    ev = sh.filter(~F.col("is_train")).select("doc_id", "token")
+    n_ev = ev.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    evc = df_capped(ev, n_ev, 0.05, 256).withColumnRenamed("doc_id", "e")
+    sizes = evc.groupBy("e").agg(F.count(F.lit(1)).alias("n_e"))
+    tr = sh.filter(F.col("is_train")).select(F.col("doc_id").alias("t"), "token")
+    common = (
+        tr.join(evc, "token").groupBy("e", "t").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    best = (
+        common.join(sizes, "e")
+        .groupBy("e")
+        .agg(F.max(F.col("n_common").cast("double") / F.col("n_e")).alias("max_cont"))
+    )
+    return (
+        best.join(split.select(F.col("doc_id").alias("e"), "source"), "e")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_scored"),
+            F.sum((F.col("max_cont") >= 0.8).cast("bigint")).alias("n_leaked"),
+            F.round(F.sum("max_cont"), 4).alias("sum_max_containment"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def sig_local(docs: DataFrame, num_perm: int = 8, text_col: str = "text") -> DataFrame:
+    from trafficanalysisbigdata_spark.functions.text import tokens
+
+    arr = F.array_distinct(tokens(F.col(text_col)))
+    cols = [
+        F.array_min(
+            F.transform(arr, lambda t: F.md5(F.concat(F.lit(f"{i}|"), t)))
+        ).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+def dd2_shape(spark, local_sig: bool, fanout: bool = False) -> DataFrame:
+    from trafficanalysisbigdata_spark.io import fan_out_small_scan
+    from trafficanalysisbigdata_spark.operators.dedup import (
+        doc_token_arrays,
+        doc_token_sets,
+        jaccard_scores,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from trafficanalysisbigdata_spark.plans.queries_dedup import DD2_MAX_BUCKET
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    if fanout:
+        docs = fan_out_small_scan(docs.select("doc_id", "text"), "doc_id")
+    if local_sig:
+        sig = sig_local(docs, num_perm=8)
+    else:
+        sig = minhash_signatures(doc_token_sets(docs), num_perm=8)
+    pairs = lsh_candidate_pairs(sig, num_perm=8, rows_per_band=2, max_bucket=DD2_MAX_BUCKET)
+    scores = jaccard_scores(pairs, doc_token_arrays(docs))
+    # dd2's reported shape (histogram over score bands) is tiny; time the
+    # score pipeline itself, which is where the signature path lives
+    return scores.groupBy(F.round("jaccard", 1).alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def run_ab(name: str, variants, n: int) -> None:
+    # identical-results check once
+    frames = {k: fn() for k, fn in variants}
+    rows = {k: sorted(map(tuple, f.collect())) for k, f in frames.items()}
+    keys = [k for k, _ in variants]
+    assert rows[keys[0]] == rows[keys[1]], f"{name}: RESULT MISMATCH"
+    print(f"{name}: results identical ({len(rows[keys[0]])} rows)", flush=True)
+    ts: dict[str, list[float]] = {k: [] for k in keys}
+    for _ in range(n):
+        for k, fn in variants:
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            ts[k].append(time.perf_counter() - t0)
+    for k, runs in ts.items():
+        print(f"{k}: min {min(runs):.3f}  " + " ".join(f"{t:.3f}" for t in runs), flush=True)
+
+
+def run_gate_ab(spark, names: list[str], n: int) -> None:
+    """A/B the REAL registered queries with the fan-out gate forced off
+    (identity) vs live, interleaved in one JVM. Results asserted identical
+    once per query before timing."""
+    from trafficanalysisbigdata_spark import io as io_mod
+    from trafficanalysisbigdata_spark.plans.registry import load_all, release_caches
+
+    real = io_mod.fan_out_small_scan
+    identity = lambda df, key: df  # noqa: E731
+    specs = load_all()
+
+    def run_one(name, fanout):
+        io_mod.fan_out_small_scan = real if fanout else identity
+        try:
+            return specs[name].run(spark, "/root/testdata/sf0.1")
+        finally:
+            io_mod.fan_out_small_scan = real
+
+    for name in names:
+        a = sorted(map(tuple, run_one(name, False).collect()))
+        release_caches()
+        b = sorted(map(tuple, run_one(name, True).collect()))
+        release_caches()
+        assert a == b, f"{name}: RESULT MISMATCH under fan-out"
+        print(f"{name}: results identical ({len(a)} rows)", flush=True)
+        ts = {"off": [], "on": []}
+        for _ in range(n):
+            for key, fanout in (("off", False), ("on", True)):
+                t0 = time.perf_counter()
+                run_one(name, fanout).write.format("noop").mode("overwrite").save()
+                release_caches()
+                ts[key].append(time.perf_counter() - t0)
+        for key, runs in ts.items():
+            print(
+                f"{name} {key}: min {min(runs):.3f}  "
+                + " ".join(f"{t:.3f}" for t in runs),
+                flush=True,
+            )
+
+
+def main() -> None:
+    which = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = build_spark()
+    # warmup
+    spark.read.parquet("/root/testdata/sf0.1/documents.parquet").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    if which == "pipe14":
+        run_ab(
+            "pipe14",
+            [
+                ("old-join", lambda: pipe14_variant(spark, True)),
+                ("new-expr", lambda: pipe14_variant(spark, False)),
+            ],
+            n,
+        )
+    elif which == "pipe14fan":
+        run_ab(
+            "pipe14fan",
+            [
+                ("expr", lambda: pipe14_variant(spark, False)),
+                ("expr+fanout", lambda: pipe14_variant(spark, False, fanout=True)),
+            ],
+            n,
+        )
+    elif which == "dd2fan":
+        run_ab(
+            "dd2fan",
+            [
+                ("plain", lambda: dd2_shape(spark, False)),
+                ("fanout", lambda: dd2_shape(spark, False, fanout=True)),
+            ],
+            n,
+        )
+    elif which == "gate":
+        run_gate_ab(spark, sys.argv[3].split(","), n)
+    elif which == "minhash":
+        run_ab(
+            "minhash/dd2",
+            [
+                ("old-groupby", lambda: dd2_shape(spark, False)),
+                ("new-rowlocal", lambda: dd2_shape(spark, True)),
+            ],
+            n,
+        )
+    else:
+        raise SystemExit(f"unknown experiment {which!r}")
+
+
+if __name__ == "__main__":
+    main()

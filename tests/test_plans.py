@@ -489,6 +489,13 @@ def test_pipe14_no_cartesian_and_pair_state_is_aggregated(spark, sf_dir):
     assert re.search(
         r"HashAggregate\(keys=\[e#\d+L?, t#\d+L?\], functions=\[count\(1\)\]", plan
     ), plan
+    # r15 continuation guard: is_train rides the postings as the derivable
+    # _hash_frac(doc_id) EXPRESSION, never a join — the old split attach put
+    # one doc_id-keyed BroadcastHashJoin inside every replicated shingle
+    # subtree (6 of them), probing every posting row for a bit the scan can
+    # compute itself. The only doc-keyed join left is the final source
+    # attach, keyed on the renamed `e`.
+    assert not re.search(r"keys \[1\]: \[doc_id#\d+L?\]", plan), plan
 
 
 def test_dd10_scrub_is_anti_join_not_pair_shaped(spark, sf_dir):

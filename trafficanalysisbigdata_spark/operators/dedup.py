@@ -254,7 +254,28 @@ def minhash_lsh_scores(
     Returns (doc1, doc2, jaccard) for every candidate pair. The dd2 query,
     the dd6 component edges, and the scale rehearsal all consume THIS
     function, so a pipeline change propagates everywhere the numbers are
-    cited."""
+    cited.
+
+    r15 continuation pass, two MEASURED REJECTIONS at this site (the dd2
+    query body carries the kept fan-out instead — see there):
+
+    * fan-out INSIDE this operator (so every consumer pays it): dd2 wins
+      (1.60 → 1.21 interleaved min-of-4) but dd6 3.66 → 4.62 and pipe12
+      4.21 → 5.76 — the CC consumers re-derive the edge pipeline into a
+      checkpoint once and then loop; their wall is candidate/round-bound,
+      and the extra exchange below the banding is pure tax. Operator-level
+      placement rejected; the fan-out lives at the ONE call site that
+      measured a win (the r14 whitelist discipline: opt-in per operator,
+      never blanket).
+    * computing signatures row-locally as
+      ``array_min(transform(arr, t -> md5(i|t)))`` — no explode, no
+      aggregate — is 3.6× SLOWER through the dd2 shape (interleaved
+      min-of-5: 1.40 grouped vs 5.07 row-local): array lambdas are
+      CodegenFallback, so all 8 md5 passes run interpreted, exactly the
+      penalty the lsh_candidate_pairs docstring records for its rejected
+      row-local band filter. The explode+partial-agg form keeps every md5
+      inside whole-stage codegen and its exchange carries only per-doc
+      partials."""
     tok = doc_token_sets(docs, text_col)
     sig = minhash_signatures(tok, num_perm=num_perm)
     pairs = lsh_candidate_pairs(

@@ -121,8 +121,23 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every candidate pair shares a band bucket, i.e. identical minhash values
     in that band, hence at least one common token — so counting scored pairs
     equals counting candidate pairs.
+
+    r15 continuation pass: the signature stage (8 md5 per token over the
+    exploded token set) joins the fan-out whitelist — the per-gram-md5
+    class r14 measured for dd4/dd7/tx9 but never A/B'd here. Interleaved
+    min-of-4 on the real query, one JVM: off 1.597 vs on 1.214 s, results
+    identical. The fan-out lives HERE, not inside minhash_lsh_scores: the
+    operator-level placement was measured a net loss (dd6 3.66 → 4.62,
+    pipe12 4.21 → 5.76 — their walls are candidate/round-bound and the
+    extra exchange below the banding is pure tax; receipts at the operator
+    docstring), and dd9/pipe13 read wash-to-loss.
     """
-    scores = minhash_lsh_scores(spark.table("documents"), max_bucket=DD2_MAX_BUCKET)
+    from ..io import fan_out_small_scan
+
+    docs = fan_out_small_scan(
+        spark.table("documents").select("doc_id", "text"), "doc_id"
+    )
+    scores = minhash_lsh_scores(docs, max_bucket=DD2_MAX_BUCKET)
     is_dup = F.col("jaccard") >= 0.5
     return scores.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
@@ -418,13 +433,20 @@ def dd8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-computed, incrementally-maintained index tables a lakehouse keeps
     next to the corpus rather than re-deriving). Hot boilerplate shingles
     get the dd4 df-cap; the per-doc overlap count is a partial-aggregable
-    groupBy on (doc, k) pairs from the increment only."""
+    groupBy on (doc, k) pairs from the increment only.
+
+    r15 continuation pass: the corpus-side 5-gram explode (xxhash64 per
+    shingle) is the per-gram-expression fan-out class r14 measured for
+    dd4/dd7/tx9 — interleaved min-of-4 on the real query, one JVM:
+    off 2.508 vs on 1.909 s, results identical (the fan-out gate is a
+    no-op on real multi-split layouts)."""
     from .queries_pipeline import _hash_frac
     from ..functions.text import token_ngrams
+    from ..io import fan_out_small_scan
 
-    docs = spark.table("documents").withColumn(
-        "in_corpus", _hash_frac(F.col("doc_id")) < 0.75
-    )
+    docs = fan_out_small_scan(
+        spark.table("documents").select("doc_id", "text", "lang"), "doc_id"
+    ).withColumn("in_corpus", _hash_frac(F.col("doc_id")) < 0.75)
     corpus = docs.filter(F.col("in_corpus"))
     corpus_fp = corpus.select(F.md5("text").alias("fp")).distinct()
     inc = (
@@ -523,7 +545,13 @@ def dd9_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (steady-state ~2.3 s unpersisted vs ~2.6 s persisted): AQE's runtime
     exchange reuse already dedupes the identical banded-candidate exchanges,
     and the cache adds materialization + InMemoryRelation scan overhead
-    while breaking whole-stage fusion. Left unpersisted on that evidence."""
+    while breaking whole-stage fusion. Left unpersisted on that evidence.
+
+    r15 continuation pass: fanning the one-split fixture scan out (the dd2
+    move) was A/B-measured a WASH here (interleaved min-of-4: 2.778 off vs
+    2.794 on) — dd9's wall is the three sig consumers + the exact-Jaccard
+    attach joins, not the signature stage's scan parallelism. Left
+    untouched on that evidence."""
     from ..operators.dedup import (
         doc_token_arrays,
         doc_token_sets,

@@ -1151,16 +1151,33 @@ def pipe14_containment_leak_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers) was A/B-measured SLOWER at sf0.1 (steady ~3.3 s unpersisted
     vs ~4.5 s persisted) — AQE runtime exchange reuse already shares the
     duplicated subtrees and the cache breaks stage fusion. Left unpersisted
-    on that evidence."""
+    on that evidence.
+
+    r15 continuation pass: (1) is_train rides the postings as the derivable
+    _hash_frac(doc_id) expression instead of a join against ``split`` — the
+    static plan had one BroadcastHashJoin + split-side scan inside EVERY
+    replicated shingle subtree (6 of them) probing every posting row for a
+    bit the scan can compute itself (interleaved min-of-5: 4.63 → 4.25 s);
+    ``split`` survives only as the final source attach, which genuinely
+    needs a column of documents. (2) The bigram explode is a per-gram md5
+    pipeline over a one-split fixture scan — the exact fan-out class dd4/
+    dd7/tx9 measured in r14 — so the scan joins the fan-out whitelist
+    (interleaved min-of-5 on top of (1): 4.16 → 2.54 s; no-op on real
+    multi-split layouts by the io.fan_out_small_scan gate)."""
+    from ..io import fan_out_small_scan
     from ..operators.dedup import df_capped, doc_shingle_sets
 
-    docs = spark.table("documents")
+    docs = fan_out_small_scan(
+        spark.table("documents").select("doc_id", "source", "text"), "doc_id"
+    )
     split = docs.select(
         "doc_id",
         "source",
         (_hash_frac(F.col("doc_id")) < 0.9).alias("is_train"),
     )
-    sh = doc_shingle_sets(docs).join(split.select("doc_id", "is_train"), "doc_id")
+    sh = doc_shingle_sets(docs).withColumn(
+        "is_train", _hash_frac(F.col("doc_id")) < 0.9
+    )
     ev = sh.filter(~F.col("is_train")).select("doc_id", "token")
     n_ev = ev.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     evc = df_capped(ev, n_ev, 0.05, 256).withColumnRenamed("doc_id", "e")
