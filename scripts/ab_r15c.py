@@ -91,6 +91,50 @@ def pipe14_variant(spark, use_join: bool, fanout: bool = False) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- s14
+
+
+def s14_variant(spark, trim: bool):
+    import os
+    import tempfile
+
+    from trafficanalysisbigdata_spark.io import load_table
+    from trafficanalysisbigdata_spark.plans.queries_sources import correction_delta
+
+    cols = ["ts", "value"] if trim else ["event_id", "ts", "value"]
+    ev = (
+        load_table(spark, "/root/testdata/sf0.1", "events")
+        .select(*cols)
+        .withColumn("d", F.to_date("ts").cast("string"))
+    )
+    if trim:
+        ev = ev.select("value", "d", "ts")
+        write_cols = ["value", "d"]
+    else:
+        write_cols = ["event_id", "ts", "value", "d"]
+    work = tempfile.mkdtemp(prefix=f"s14ab_{os.getpid()}_")
+    base = os.path.join(work, "events")
+    ev.select(*write_cols).write.partitionBy("d").mode("overwrite").parquet(base)
+    last_day = ev.agg(F.max("d")).first()[0]
+    delta = correction_delta(ev, last_day)
+    (
+        delta.select(*write_cols)
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("d")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    return (
+        back.groupBy(F.col("d").cast("string").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("d")
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 
@@ -223,6 +267,15 @@ def main() -> None:
             [
                 ("plain", lambda: dd2_shape(spark, False)),
                 ("fanout", lambda: dd2_shape(spark, False, fanout=True)),
+            ],
+            n,
+        )
+    elif which == "s14":
+        run_ab(
+            "s14",
+            [
+                ("full", lambda: s14_variant(spark, False)),
+                ("trim", lambda: s14_variant(spark, True)),
             ],
             n,
         )

@@ -89,7 +89,15 @@ def pipe1_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One row out: n_raw, n_quality, n_exact, n_final, tokens_final. The
     survivor-stage aggregates are single-row frames crossJoined back
-    together — Spark broadcasts them, so no stage adds a driver action."""
+    together — Spark broadcasts them, so no stage adds a driver action.
+
+    r15 continuation pass, MEASURED REJECTION: fanning the one-split scan
+    out (the dd2/dd8 move) read off 1.474 vs on 1.888 s (interleaved
+    min-of-4, one JVM) — pipe1's scan stage is gate math + groupBy(text)
+    partials, not a per-gram hash pipeline, and the added exchange (which
+    must carry the full text payload for the exact-dedup groupBy) costs
+    more than the parallelism buys. Same verdict as tx12/tx6: the fan-out
+    class is heavy per-row hash expressions, not explode+partial-agg."""
     docs = spark.table("documents")
     stage1 = docs.agg(
         F.count(F.lit(1)).alias("n_raw"),

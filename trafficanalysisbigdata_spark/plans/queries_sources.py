@@ -411,7 +411,14 @@ def s14_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — at 100 TB with daily partitions, a correction batch rewrites
     ~1/365th of the data; the alternative (full overwrite) rewrites all of
     it. No shuffle: the write is a per-partition file swap, the readback agg
-    is one partial+final groupBy."""
+    is one partial+final groupBy.
+
+    r15 continuation MEASURED REJECTION: projecting event_id/ts out of the
+    written layout (the ops2 payload-trim move — the readback needs only
+    value + the partition key) read full 1.053 vs trim 1.006 s at
+    interleaved min-of-8 — a wash, same verdict as s16: this wall is the
+    ~60 dynamic-partition files' commit protocol, not payload bytes. ops2
+    kept its trim because its single write moves 3× the rows per file."""
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "value")

@@ -230,6 +230,10 @@ def tx6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combine shape that holds at any corpus size."""
     from ..functions.text import tokens as _tokens
 
+    # r15 continuation MEASURED REJECTION: fan-out of the one-split scan
+    # read off 0.634 vs on 0.871 s (interleaved min-of-4) — same verdict
+    # as tx12/pipe1: explode+partial-agg stages don't pay the per-row cost
+    # that makes the fan-out exchange worthwhile.
     docs = spark.table("documents")
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -586,6 +590,10 @@ def tx12_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens as _tokens
     from pyspark.sql.window import Window
 
+    # r15 continuation MEASURED REJECTION: fan-out of the one-split scan
+    # read off 0.552 vs on 0.784 s (interleaved min-of-4) — the explode's
+    # (lang, token) partial agg is cheap per row and the added exchange is
+    # pure tax (the fan-out class is heavy per-row hash expressions).
     docs = spark.table("documents")
     tf = (
         docs.select("lang", F.explode(_tokens(F.col("text"))).alias("token"))
