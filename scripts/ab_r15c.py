@@ -91,6 +91,97 @@ def pipe14_variant(spark, use_join: bool, fanout: bool = False) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- dd6/pipe12
+
+
+def cc_repart(pairs, src="doc1", dst="doc2", max_iter=25):
+    """connected_components with the edge union re-keyed through one
+    AQE-coalesced exchange before the eager checkpoint, so the checkpointed
+    partition count tracks the edge DATA size instead of whatever the
+    caller's derivation pipeline happened to leave (a fanned-out derivation
+    leaves cores-many near-empty partitions, and every label round pays a
+    task per partition per stage)."""
+    from trafficanalysisbigdata_spark.operators.components import (
+        _persistent_rdd_ids,
+        _unpersist_rdds,
+    )
+
+    sc = pairs.sparkSession.sparkContext
+    pre = _persistent_rdd_ids(sc)
+    edges = (
+        pairs.select(F.col(src).alias("v"), F.col(dst).alias("w"))
+        .unionByName(pairs.select(F.col(dst).alias("v"), F.col(src).alias("w")))
+        .repartition(F.col("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("v")
+        .agg(F.min("w").alias("nbr_min"))
+        .select("v", F.least(F.col("v"), F.col("nbr_min")).alias("l"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("l").alias("s")).first()["s"]
+    setup_ids = _persistent_rdd_ids(sc) - pre
+    round_ids = set()
+    try:
+        for _ in range(max_iter):
+            before = _persistent_rdd_ids(sc)
+            nbr = (
+                edges.join(labels.select(F.col("v").alias("w"), F.col("l").alias("lw")), "w")
+                .select("v", "lw")
+                .unionByName(labels.select("v", F.col("l").alias("lw")))
+                .groupBy("v")
+                .agg(F.min("lw").alias("l"))
+            )
+            jumped = (
+                nbr.join(
+                    nbr.select(F.col("v").alias("l"), F.col("l").alias("ll")),
+                    "l",
+                    "left",
+                )
+                .select("v", F.least("l", F.coalesce("ll", "l")).alias("l"))
+                .localCheckpoint(eager=False)
+            )
+            new_sum = jumped.agg(F.sum("l").alias("s")).first()["s"]
+            new_ids = _persistent_rdd_ids(sc) - before
+            _unpersist_rdds(sc, round_ids - new_ids)
+            round_ids = new_ids
+            labels = jumped
+            if new_sum == prev_sum:
+                return labels.select("v", F.col("l").alias("component"))
+            prev_sum = new_sum
+        raise RuntimeError("no converge")
+    finally:
+        _unpersist_rdds(sc, setup_ids - round_ids)
+
+
+def dd6_variant(spark, fanout: bool, repart: bool):
+    from trafficanalysisbigdata_spark.io import fan_out_small_scan
+    from trafficanalysisbigdata_spark.operators.components import connected_components
+    from trafficanalysisbigdata_spark.operators.dedup import minhash_lsh_scores
+    from trafficanalysisbigdata_spark.plans.queries_dedup import DD2_MAX_BUCKET
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    if fanout:
+        docs = fan_out_small_scan(docs.select("doc_id", "text"), "doc_id")
+    edges = (
+        minhash_lsh_scores(docs, max_bucket=DD2_MAX_BUCKET)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2")
+    )
+    comp = (cc_repart if repart else connected_components)(edges)
+    comps = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        comps.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.sum("component").cast("bigint").alias("keeper_id_sum"),
+        )
+        .select(F.col("size").cast("bigint").alias("size"), "n_components", "keeper_id_sum")
+        .orderBy("size")
+    )
+
+
 # ---------------------------------------------------------------- s14
 
 
@@ -220,9 +311,12 @@ def run_gate_ab(spark, names: list[str], n: int) -> None:
         release_caches()
         assert a == b, f"{name}: RESULT MISMATCH under fan-out"
         print(f"{name}: results identical ({len(a)} rows)", flush=True)
+        order = (("off", False), ("on", True))
+        if os.environ.get("AB_REVERSE"):
+            order = (("on", True), ("off", False))
         ts = {"off": [], "on": []}
         for _ in range(n):
-            for key, fanout in (("off", False), ("on", True)):
+            for key, fanout in order:
                 t0 = time.perf_counter()
                 run_one(name, fanout).write.format("noop").mode("overwrite").save()
                 release_caches()
@@ -267,6 +361,15 @@ def main() -> None:
             [
                 ("plain", lambda: dd2_shape(spark, False)),
                 ("fanout", lambda: dd2_shape(spark, False, fanout=True)),
+            ],
+            n,
+        )
+    elif which == "dd6":
+        run_ab(
+            "dd6",
+            [
+                ("cur", lambda: dd6_variant(spark, False, False)),
+                ("fan+repart", lambda: dd6_variant(spark, True, True)),
             ],
             n,
         )
