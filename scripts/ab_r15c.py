@@ -29,14 +29,16 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 def build_spark():
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[32]")
         .appName("ab-r15c")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if os.environ.get("AB_BIG"):  # rehearsal-scale corpora (local[32] JVM
+        builder = builder.config("spark.driver.memory", "48g")  # holds all executors)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -44,7 +46,7 @@ def build_spark():
 # ---------------------------------------------------------------- pipe14
 
 
-def pipe14_variant(spark, use_join: bool, fanout: bool = False) -> DataFrame:
+def pipe14_variant(spark, use_join: bool, fanout: bool = False, docs=None) -> DataFrame:
     from trafficanalysisbigdata_spark.io import fan_out_small_scan
     from trafficanalysisbigdata_spark.operators.dedup import (
         df_capped,
@@ -52,7 +54,8 @@ def pipe14_variant(spark, use_join: bool, fanout: bool = False) -> DataFrame:
     )
     from trafficanalysisbigdata_spark.plans.queries_pipeline import _hash_frac
 
-    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    if docs is None:
+        docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     if fanout:
         docs = fan_out_small_scan(docs.select("doc_id", "source", "text"), "doc_id")
     split = docs.select(
@@ -343,6 +346,34 @@ def main() -> None:
             [
                 ("old-join", lambda: pipe14_variant(spark, True)),
                 ("new-expr", lambda: pipe14_variant(spark, False)),
+            ],
+            n,
+        )
+    elif which == "pipe14scale":
+        # Scale receipt for the is_train-as-expression change on a REAL
+        # multi-file layout (64 files — the fan-out gate no-ops there, so
+        # this isolates the removed broadcast probes). Synthetic source
+        # column: the old/new delta never touches the source attach.
+        import os as _os
+
+        n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+        path = f"/tmp/spark_graft_rehearsal/docs_dist_{n_docs}"
+        if not _os.path.exists(f"{path}/_SUCCESS"):
+            sys.path.insert(0, _os.path.join(ROOT, "scripts"))
+            from scale_rehearsal import gen_documents_dist
+
+            gen_documents_dist(spark, n_docs, path)
+        docs = spark.read.parquet(path).select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("string").alias("source"),
+            "text",
+        )
+        print(f"corpus partitions: {docs.rdd.getNumPartitions()}", flush=True)
+        run_ab(
+            "pipe14scale",
+            [
+                ("old-join", lambda: pipe14_variant(spark, True, fanout=True, docs=docs)),
+                ("new-expr", lambda: pipe14_variant(spark, False, fanout=True, docs=docs)),
             ],
             n,
         )
