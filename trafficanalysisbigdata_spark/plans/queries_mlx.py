@@ -518,7 +518,14 @@ def mlx9_cv_fold_grid_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     work plan a distributed CV executes — grid x folds fit jobs over pinned
     partitions — with everything except the fits themselves value-checked.
     Scale: one partial/final agg over events plus a broadcast of the
-    |grid| x k contract rows."""
+    |grid| x k contract rows.
+
+    r15 continuation MEASURED REJECTION: fanning the one-split events scan
+    out read off 1.139 vs on 1.343 s (interleaved min-of-5) — one md5 per
+    EVENT ROW over ~100k rows is two orders of magnitude less hash work
+    than the per-gram winners (dd4-class: ~10⁶ grams × md5), so the
+    exchange tax dominates. The fan-out class needs per-row work, not just
+    a hash somewhere in the plan."""
     ev = spark.table("events")
     fold = (
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
